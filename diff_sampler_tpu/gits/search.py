@@ -1,0 +1,191 @@
+"""GITS: DP-based time-schedule search (ICML 2024).
+
+Rebuilds `gits-main/gits_utils.py:42-232` TPU-first:
+
+  * teacher trajectory + eps capture: one scan-based sampler run with
+    return_inters (the reference's warmup loop, gits_utils.py:59-110),
+  * cost matrix: cost[i,j] = mean error of a single Euler jump i->j vs the
+    teacher state at j -- vectorized per source-row on device
+    (replaces the O(N^2) Python double loop, gits_utils.py:115-132); batch
+    means across data-sharded devices are handled by XLA,
+  * DP shortest path + backtracking on host numpy (gits_utils.py:185-232),
+  * optional AFS insertion search: try each candidate free step, keep the
+    min-L2-to-teacher-terminal schedule (gits_utils.py:157-179).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import get_schedule
+from ..ops.geometry import trajectory_deviation
+from ..solvers import get_sampler
+from ..utils.rng import stacked_randn
+
+__all__ = ["GITSConfig", "compute_cost_matrix", "dp_search", "gits_schedule"]
+
+
+@dataclasses.dataclass(frozen=True)
+class GITSConfig:
+    """GITS_FLAGS of the reference CLI (`gits-main/sample.py:159-166`)."""
+
+    num_steps: int = 6  # student schedule length (num_steps-1 jumps)
+    num_steps_tea: int = 61
+    num_warmup: int = 256
+    solver_tea: str = "ipndm"
+    solver: str = "ipndm"
+    metric: str = "dev"  # l1 | l2 | dev
+    coeff: float = 1.15
+    schedule_type: str = "polynomial"
+    schedule_rho: float = 7.0
+    max_order: int = 4
+    afs: bool = False
+    batch_size: int = 64
+
+
+def compute_cost_matrix(traj, eps, t_steps, metric: str) -> jnp.ndarray:
+    """cost[i, j] (j > i): batch-mean error of the Euler jump i->j.
+
+    traj: [N, B, ...] teacher states (traj[0] = initial x).
+    eps:  [N-1, B, ...] teacher gradients d_i at each state.
+    """
+    n = traj.shape[0]
+    t = jnp.asarray(np.asarray(t_steps), traj.dtype)
+
+    if metric == "dev":
+        dev_tea = trajectory_deviation(traj).mean(axis=0)  # [N-2]
+        dev_tea = jnp.concatenate([dev_tea, jnp.zeros((1,), traj.dtype)])  # [N-1]
+        start, end = traj[0], traj[-1]
+
+    def row(i):
+        x_cur, d_cur = traj[i], eps[i]
+        # x_next[j] = x_cur + (t[j] - t[i]) * d_cur, all j at once
+        dt = (t - t[i]).reshape(-1, *([1] * x_cur.ndim))
+        x_next = x_cur[None] + dt * d_cur[None]  # [N, B, ...]
+        diff = (x_next - traj).reshape(n, traj.shape[1], -1)
+        if metric == "l1":
+            c = jnp.abs(diff).sum(axis=-1).mean(axis=-1)
+        elif metric == "l2":
+            c = jnp.linalg.norm(diff, axis=-1).mean(axis=-1)
+        elif metric == "dev":
+            # deviation of x_next[j] from the line start->end, minus the
+            # teacher's deviation at j (gits_utils.py:127-131)
+            flat = lambda v: v.reshape(v.shape[0], v.shape[1], -1)
+            a = flat(x_next)
+            bc = flat(end[None]) - flat(start[None])  # [1, B, D]
+            bc_unit = bc / jnp.linalg.norm(bc, axis=-1, keepdims=True)
+            ac = flat(end[None]) - a
+            proj = jnp.sum(ac * bc_unit, axis=-1, keepdims=True) * bc_unit
+            dev_stu = jnp.linalg.norm(ac - proj, axis=-1)  # [N, B]
+            # teacher deviation index j-1; gather with clamp (masked below)
+            idx = jnp.clip(jnp.arange(n) - 1, 0, n - 2)
+            c = (dev_stu - dev_tea[idx][:, None]).mean(axis=-1)
+        else:
+            raise NotImplementedError(f"Unknown metric: {metric}")
+        mask = jnp.arange(n) > i
+        return jnp.where(mask, c, 0.0)
+
+    rows = jax.lax.map(row, jnp.arange(n - 1))  # [N-1, N]
+    return jnp.concatenate([rows, jnp.zeros((1, n), rows.dtype)], axis=0)
+
+
+def dp_search(cost_mat: np.ndarray, num_steps: int, num_steps_tea: int,
+              coeff: float) -> list:
+    """DP shortest path V[j][k] = min_i cost[j][i] + coeff * V[i][k-1] with
+    first-match backtracking (gits_utils.py:185-212)."""
+    K = num_steps - 1
+    V = np.full((num_steps_tea, K + 1), np.inf)
+    for i in range(num_steps_tea):
+        V[i][1] = cost_mat[i][-1]
+    for k in range(2, K + 1):
+        for j in range(num_steps_tea - 1):
+            for i in range(j + 1, num_steps_tea - 1):
+                V[j][k] = min(V[j][k], cost_mat[j][i] + coeff * V[i][k - 1])
+    phi, w = [0], 0
+    for temp in range(K):
+        k = K - temp
+        for j in range(w + 1, num_steps_tea):
+            if V[w][k] == cost_mat[w][j] + coeff * V[j][k - 1]:
+                phi.append(j)
+                w = j
+                break
+    phi.append(num_steps_tea - 1)
+    return phi
+
+
+def dp_search_multi(cost_mat: np.ndarray, num_steps: int, num_steps_tea: int,
+                    coeffs: Sequence[float] = (0.8, 0.85, 0.9, 0.95, 1.0, 1.05,
+                                               1.10, 1.15, 1.2)) -> dict:
+    """Multi-coefficient DP table (the reference's ms_coco `dp_record.txt`
+    dump, gits_utils.py:214-231): {(coeff, K): phi}."""
+    out = {}
+    for coeff in coeffs:
+        for K_temp in range(2, num_steps):
+            out[(coeff, K_temp)] = dp_search(cost_mat, K_temp + 1,
+                                             num_steps_tea, coeff)
+    return out
+
+
+def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
+                  *, seeds: Optional[Sequence[int]] = None,
+                  sigma_fn=None, sigma_inv_fn=None,
+                  return_cost: bool = False):
+    """Run the full GITS search; returns (dp_list, t_steps[dp_list]).
+
+    denoise: bound denoiser.  sample_shape: per-sample NHWC shape.
+    """
+    t_full = get_schedule(cfg.num_steps_tea, denoise.sigma_min, denoise.sigma_max,
+                          cfg.schedule_type, cfg.schedule_rho,
+                          sigma_fn=sigma_fn, sigma_inv_fn=sigma_inv_fn)
+    tea = get_sampler(cfg.solver_tea)
+    if seeds is None:
+        seeds = range(cfg.num_warmup)
+    seeds = np.asarray(list(seeds), dtype=np.int64)
+
+    @jax.jit
+    def capture_and_cost(latents):
+        out = tea(denoise, latents, t_full, return_inters=True,
+                  max_order=cfg.max_order)
+        return compute_cost_matrix(out.xs, out.eps, t_full, cfg.metric), out.xs[-1]
+
+    cost_sum = np.zeros((cfg.num_steps_tea, cfg.num_steps_tea))
+    rounds = 0
+    terminal_states = []
+    latents_last = None
+    for start in range(0, len(seeds), cfg.batch_size):
+        chunk = seeds[start : start + cfg.batch_size]
+        latents_last = stacked_randn(jnp.asarray(chunk), sample_shape)
+        c, term = capture_and_cost(latents_last)
+        cost_sum += np.asarray(c, dtype=np.float64)
+        terminal_states.append(np.asarray(term))
+        rounds += 1
+    cost_mat = cost_sum / rounds
+
+    phi = dp_search(cost_mat, cfg.num_steps, cfg.num_steps_tea, cfg.coeff)
+    dp_list = phi
+
+    if cfg.afs:
+        # AFS insertion search on the last warmup batch (gits_utils.py:157-179).
+        stu = get_sampler(cfg.solver)
+        teacher_terminal = jnp.asarray(terminal_states[-1])
+        best = np.inf
+        for k in range(1, phi[1]):
+            cand = phi[:1] + [k] + phi[1:]
+            t_cand = t_full[np.asarray(cand)]
+            out = jax.jit(lambda lat, t=t_cand: stu(
+                denoise, lat, t, afs=True, max_order=cfg.max_order).x)(latents_last)
+            d = float(jnp.linalg.norm(
+                (out - teacher_terminal).reshape(out.shape[0], -1), axis=-1).mean())
+            if d < best:
+                best = d
+                dp_list = cand
+
+    t_steps = t_full[np.asarray(dp_list)]
+    if return_cost:
+        return dp_list, t_steps, cost_mat
+    return dp_list, t_steps

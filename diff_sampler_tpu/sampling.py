@@ -1,0 +1,121 @@
+"""High-level generation API: the TPU-native equivalent of the reference's
+`sample.py` main loop (`diff-solvers-main/sample.py:125-320`).
+
+Given a bound denoiser, a solver config, and a list of seeds, produces images
+data-parallel over a device mesh with the per-seed determinism contract
+(image i is a pure function of seed i at any batch/device count).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import get_schedule
+from .parallel import mesh as pm
+from .solvers import count_nfe, get_sampler
+from .utils.rng import stacked_randn
+
+__all__ = ["SolverConfig", "build_sample_fn", "generate", "to_uint8"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Mirrors the reference's SOLVER_FLAGS / SCHEDULE_FLAGS / ADDITIONAL_FLAGS
+    (`sample.py:125-162`)."""
+
+    solver: str = "heun"
+    num_steps: int = 6
+    schedule_type: str = "polynomial"
+    schedule_rho: float = 7.0
+    afs: bool = False
+    denoise_to_zero: bool = False
+    max_order: Optional[int] = None  # default: 4 (lms family) / 3 (dpmpp, unipc)
+    predict_x0: bool = True
+    lower_order_final: bool = True
+    variant: str = "bh2"
+    deis_mode: str = "tab"
+    r: float = 0.5
+    t_steps: Optional[Tuple[float, ...]] = None  # explicit sigma schedule
+    dp_list: Optional[Tuple[int, ...]] = None  # GITS schedule sub-selection
+
+    def resolve_t_steps(self, sigma_min: float, sigma_max: float,
+                        sigma_fn=None, sigma_inv_fn=None) -> np.ndarray:
+        if self.t_steps is not None:
+            return np.asarray(self.t_steps, dtype=np.float64)
+        return get_schedule(
+            self.num_steps, sigma_min, sigma_max, self.schedule_type,
+            self.schedule_rho, sigma_fn=sigma_fn, sigma_inv_fn=sigma_inv_fn,
+            dp_list=self.dp_list)
+
+    def sampler_kwargs(self) -> dict:
+        kw = dict(afs=self.afs, denoise_to_zero=self.denoise_to_zero,
+                  predict_x0=self.predict_x0,
+                  lower_order_final=self.lower_order_final,
+                  variant=self.variant, deis_mode=self.deis_mode, r=self.r)
+        if self.max_order is not None:
+            kw["max_order"] = self.max_order
+        return kw
+
+    def nfe(self, cfg_doubled: bool = False) -> int:
+        n = len(self.t_steps) if self.t_steps is not None else self.num_steps
+        n = len(self.dp_list) if self.dp_list is not None else n
+        return count_nfe(self.solver, n, self.afs, self.denoise_to_zero, cfg_doubled)
+
+
+def build_sample_fn(denoise, cfg: SolverConfig, *, sigma_fn=None, sigma_inv_fn=None,
+                    return_inters: bool = False, dtype=jnp.float32):
+    """Build `latents -> samples` for a bound denoiser (not yet jitted)."""
+    t_steps = cfg.resolve_t_steps(denoise.sigma_min, denoise.sigma_max,
+                                  sigma_fn=sigma_fn, sigma_inv_fn=sigma_inv_fn)
+    sampler = get_sampler(cfg.solver)
+    kw = cfg.sampler_kwargs()
+
+    def fn(latents):
+        out = sampler(denoise, latents, t_steps, return_inters=return_inters,
+                      dtype=dtype, **kw)
+        return out if return_inters else out.x
+
+    return fn
+
+
+def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
+             cfg: SolverConfig, *, mesh=None, max_batch_size: int = 64,
+             sigma_fn=None, sigma_inv_fn=None, dtype=jnp.float32) -> np.ndarray:
+    """Generate len(seeds) samples, data-parallel over the mesh.
+
+    sample_shape: per-sample shape, e.g. (32, 32, 3) NHWC.
+    Returns a float32 numpy array [len(seeds), *sample_shape].
+    """
+    if mesh is None:
+        mesh = pm.get_mesh()
+    n_dev = mesh.devices.size
+    seeds = np.asarray(list(seeds), dtype=np.int64)
+    n = len(seeds)
+
+    fn = build_sample_fn(denoise, cfg, sigma_fn=sigma_fn, sigma_inv_fn=sigma_inv_fn,
+                         dtype=dtype)
+    sharding = pm.data_sharding(mesh, 1 + len(sample_shape))
+    jfn = jax.jit(lambda lat: fn(lat), in_shardings=sharding, out_shardings=sharding)
+
+    batch = min(max_batch_size * n_dev, pm.pad_to_multiple(n, n_dev))
+    batch = pm.pad_to_multiple(batch, n_dev)
+    out = np.empty((n,) + tuple(sample_shape), dtype=np.float32)
+    for start in range(0, n, batch):
+        chunk = seeds[start : start + batch]
+        pad = batch - len(chunk)
+        chunk_p = np.concatenate([chunk, chunk[-1:].repeat(pad)]) if pad else chunk
+        latents = stacked_randn(jnp.asarray(chunk_p), sample_shape, dtype)
+        latents = jax.device_put(latents, sharding)
+        x = np.asarray(jfn(latents), dtype=np.float32)
+        out[start : start + len(chunk)] = x[: len(chunk)]
+    return out
+
+
+def to_uint8(x: np.ndarray) -> np.ndarray:
+    """[-1,1] float -> uint8 pixels, matching `sample.py:310-311`."""
+    return np.clip(np.asarray(x) * 127.5 + 128, 0, 255).astype(np.uint8)

@@ -1,0 +1,390 @@
+"""AMED: trainable per-step midpoint predictor (CVPR 2024 Highlight).
+
+Rebuilds `amed-solver-main/` TPU-first:
+
+  * AMED_predictor (training/networks.py:57-155): tiny MLP mapping the
+    channel-pooled U-Net bottleneck (8x8=64 dims) + (t_cur, t_next)
+    embeddings to r (geometric-midpoint exponent), scale_dir (c_n) and
+    scale_time (a_n) via sigmoid heads,
+  * bottleneck tap: JAX has no forward hooks (solvers_amed.py:7-18 uses
+    register_forward_hook); we use flax `capture_intermediates` filtered to
+    the bottleneck module name -- an explicit activation output,
+  * AMED-Solver (solvers_amed.py:69-159): Euler to the learned midpoint
+    t_mid = t_next^r * t_cur^(1-r), then x_next = x_cur +
+    scale_dir*(t_next-t_cur)*d_mid with d evaluated at scale_time*t_mid,
+  * AMED-Plugin (solvers_amed.py:163-709): euler/ipndm/dpm_2/dpm_pp with a
+    predictor-inserted midpoint per step (doubles the NFE).
+
+Because t_mid is per-sample and traced, step coefficients are computed
+in-graph here (unlike the base samplers' host precompute) -- they are all
+cheap elementwise ops.  Steps are a Python loop unrolled under jit (AMED
+operates at NFE <= ~10).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.layers import Linear, positional_embedding
+from ..ops import get_schedule
+from ..ops.multistep import dpm_pp_coeffs
+from .samplers import SampleResult, dynamic_thresholding
+
+silu = jax.nn.silu
+
+__all__ = [
+    "AMEDPredictor",
+    "bottleneck_module_name",
+    "bind_with_bottleneck",
+    "amed_sampler",
+    "amed_euler_sampler",
+    "amed_ipndm_sampler",
+    "amed_dpm_2_sampler",
+    "amed_dpm_pp_sampler",
+    "AMED_SOLVER_REGISTRY",
+]
+
+
+class AMEDPredictor(nn.Module):
+    """The AMED MLP (training/networks.py:57-155).
+
+    scale_dir / scale_time are range half-widths s: the head outputs
+    2*s*sigmoid(.) + (1 - s) in [1-s, 1+s]; 0 disables the head (output 1).
+    """
+
+    hidden_dim: int = 128
+    output_dim: int = 1
+    bottleneck_input_dim: int = 64
+    bottleneck_output_dim: int = 4
+    noise_channels: int = 8
+    scale_dir: float = 0.0
+    scale_time: float = 0.0
+
+    @nn.compact
+    def __call__(self, bottleneck, t_cur, t_next):
+        init = dict(init_mode="xavier_uniform")
+        map_layer0 = Linear(self.noise_channels, self.noise_channels,
+                            name="map_layer0", **init)
+
+        def time_emb(t):
+            e = positional_embedding(jnp.asarray(t, jnp.float32).reshape(1),
+                                     self.noise_channels, endpoint=True)
+            e = e.reshape(e.shape[0], 2, -1)[:, ::-1].reshape(e.shape)  # swap sin/cos
+            e = silu(map_layer0(e))
+            return jnp.broadcast_to(e, (bottleneck.shape[0], e.shape[1]))
+
+        emb = jnp.concatenate([time_emb(t_cur), time_emb(t_next)], axis=1)
+        b = bottleneck.reshape(bottleneck.shape[0], -1)
+        b = silu(Linear(self.bottleneck_input_dim, self.hidden_dim,
+                        name="enc_layer0")(b))
+        b = Linear(self.hidden_dim, self.bottleneck_output_dim, name="enc_layer1")(b)
+        out = jnp.concatenate([b, emb], axis=1)
+        in_dim = 2 * self.noise_channels + self.bottleneck_output_dim
+
+        def head(name, s):
+            y = jax.nn.sigmoid(Linear(in_dim, self.output_dim, name=name)(out))
+            return 2.0 * s * y + (1.0 - s)
+
+        r = jax.nn.sigmoid(Linear(in_dim, self.output_dim, name="fc_r")(out))
+        sd = head("fc_scale_dir", self.scale_dir) if self.scale_dir else jnp.ones_like(r)
+        st = head("fc_scale_time", self.scale_time) if self.scale_time else jnp.ones_like(r)
+        shape = (-1, 1, 1, 1)
+        return r.reshape(shape), sd.reshape(shape), st.reshape(shape)
+
+
+def bottleneck_module_name(label_dim: int, img_resolution: int,
+                           model_source: str = "edm") -> str:
+    """Per-source bottleneck tap (solvers_amed.py:7-18)."""
+    if model_source in ("ldm", "sd"):
+        return "middle_block"
+    if img_resolution == 256:  # CM / ADM 256
+        return "middle_block"
+    return "enc_8x8_block2" if label_dim else "enc_8x8_block3"
+
+
+@dataclasses.dataclass
+class BottleneckDenoiser:
+    """denoise(x, t) -> (D_x, pooled_bottleneck[B, 64]); also plain-callable."""
+
+    fn: Callable
+    plain_fn: Callable
+    sigma_min: float
+    sigma_max: float
+
+    def __call__(self, x, t):
+        return self.plain_fn(x, t)
+
+    def with_bottleneck(self, x, t):
+        return self.fn(x, t)
+
+
+def bind_with_bottleneck(precond, params, module_name: str, cfg_doubled: bool = False,
+                         **cond) -> BottleneckDenoiser:
+    """Bind a flax preconditioner so each call also yields the channel-pooled
+    bottleneck activation (the hook replacement)."""
+    leaf = module_name.split("/")[-1]
+
+    def fn(x, t):
+        out, inter = precond.apply(
+            {"params": params}, x, t, capture_intermediates=lambda mdl, _:
+            mdl.name == leaf, **cond)
+        tree = inter["intermediates"]
+        # walk to the captured module output
+        node = tree
+        while "__call__" not in node:
+            node = node[next(iter(node.keys()))]
+        act = node["__call__"][0]
+        if isinstance(act, tuple):
+            act = act[0]
+        pooled = act.mean(axis=-1)  # NHWC: channel-pool -> [B, h, w]
+        pooled = pooled.reshape(pooled.shape[0], -1)
+        if cfg_doubled:
+            pooled = pooled[pooled.shape[0] // 2:]
+        return out, pooled
+
+    def plain_fn(x, t):
+        return precond.apply({"params": params}, x, t, **cond)
+
+    return BottleneckDenoiser(fn, plain_fn, precond.sigma_min, precond.sigma_max)
+
+
+def _predict(predictor_apply, bottleneck, t_cur, t_next):
+    return predictor_apply(bottleneck, t_cur, t_next)
+
+
+_AB = [
+    np.array([1.0]),
+    np.array([3.0, -1.0]) / 2.0,
+    np.array([23.0, -16.0, 5.0]) / 12.0,
+    np.array([55.0, -59.0, 37.0, -9.0]) / 24.0,
+]
+
+
+def _ab_combo(d, buffer: List, order: int):
+    w = _AB[order - 1]
+    out = w[0] * d
+    for k in range(1, order):
+        out = out + w[k] * buffer[-k]
+    return out
+
+
+def _amed_family(
+    denoise_b: BottleneckDenoiser,
+    predictor_apply,
+    latents,
+    t_steps,
+    *,
+    mode: str,  # 'amed' | 'euler' | 'ipndm' | 'dpm' | 'dpmpp'
+    afs: bool = False,
+    denoise_to_zero: bool = False,
+    return_inters: bool = False,
+    max_order: int = 4,
+    predict_x0: bool = True,
+    lower_order_final: bool = True,
+    buffer_in: Optional[List] = None,
+    buffer_t_in: Optional[List] = None,
+    train: bool = False,
+    step_idx: Optional[int] = None,
+    total_num_steps: Optional[int] = None,
+    bottleneck_dim: int = 64,
+    dtype=jnp.float32,
+):
+    """Shared driver for the AMED solver family.  Python loop over steps
+    (unrolled under jit), two denoiser evals per step (midpoint insertion).
+
+    In training (train=True) the sampler covers ONE segment
+    (t_steps=[t_cur, t_next]) with `step_idx`/`total_num_steps` giving the
+    position in the full schedule (dpmpp order bookkeeping,
+    solvers_amed.py:566-567) and buffers carried across calls.
+    """
+    t = np.asarray(t_steps, dtype=np.float64)
+    n = len(t) - 1
+    x = latents.astype(dtype) * jnp.asarray(t[0], dtype)
+    inters = [x[None]]
+    buffer: List = list(buffer_in) if buffer_in else []   # eps (ipndm) / model (dpmpp)
+    buf_t: List = list(buffer_t_in) if buffer_t_in else []
+    r = sd = st = None
+    n_total = total_num_steps if total_num_steps is not None else len(t)
+    n_steps_eff = 2 * n_total - 1  # predictor doubles the step count (dpmpp)
+
+    def dpmpp_order(step_cur):
+        if lower_order_final:
+            return step_cur if step_cur < max_order else min(
+                max_order, n_steps_eff - step_cur)
+        return min(max_order, step_cur)
+
+    bshape = (latents.shape[0], bottleneck_dim)
+
+    for i in range(n):
+        t_cur = jnp.asarray(t[i], dtype)
+        t_next = jnp.asarray(t[i + 1], dtype)
+        if train:
+            use_afs = afs and (step_idx == 0 if mode != "ipndm" else len(buffer) == 0)
+            step_cur = 2 * step_idx + 1
+        else:
+            use_afs = afs and (len(buffer) == 0 if mode in ("ipndm", "dpmpp") else i == 0)
+            step_cur = 2 * i + 1
+
+        if use_afs:
+            d_cur = x / jnp.sqrt(1.0 + t_cur**2)
+            denoised = x - t_cur * d_cur
+            bott = jnp.zeros(bshape, dtype)
+        else:
+            denoised, bott = denoise_b.with_bottleneck(x, t_cur)
+            d_cur = (x - denoised) / t_cur
+
+        r, sd, st = _predict(predictor_apply, bott, t_cur, t_next)
+        r, sd, st = r.astype(dtype), sd.astype(dtype), st.astype(dtype)
+        t_mid = (t_next**r) * (t_cur ** (1.0 - r))
+
+        x_cur = x
+        if mode in ("amed", "euler", "dpm"):
+            x = x_cur + (t_mid - t_cur) * d_cur
+        elif mode == "ipndm":
+            order = min(max_order, len(buffer) + 1)
+            x = x_cur + (t_mid - t_cur) * _ab_combo(d_cur, buffer, order)
+            _push(buffer, jax.lax.stop_gradient(d_cur), max_order - 1)
+        elif mode == "dpmpp":
+            m0 = dynamic_thresholding(denoised) if predict_x0 else d_cur
+            _push_unbounded(buffer, m0, 3)
+            _push_unbounded(buf_t, t_cur, 3)
+            x = _dpmpp_update_traced(x_cur, buffer, buf_t, t_mid,
+                                     min(dpmpp_order(step_cur), len(buffer)),
+                                     predict_x0)
+        else:
+            raise ValueError(mode)
+
+        # Second (midpoint) evaluation at scale_time * t_mid.
+        denoised_mid = denoise_b(x, (st * t_mid).reshape(-1))
+        d_mid = (x - denoised_mid) / t_mid
+
+        if mode == "amed":
+            x = x_cur + sd * (t_next - t_cur) * d_mid
+        elif mode == "euler":
+            x = x + sd * (t_next - t_mid) * d_mid
+        elif mode == "dpm":
+            # (solvers_amed.py:480)
+            x = x_cur + sd * (t_next - t_cur) * (
+                (1.0 / (2.0 * r)) * d_mid + (1.0 - 1.0 / (2.0 * r)) * d_cur)
+        elif mode == "ipndm":
+            order = min(max_order, len(buffer) + 1)
+            x = x + sd * (t_next - t_mid) * _ab_combo(d_mid, buffer, order)
+            _push(buffer, jax.lax.stop_gradient(d_mid), max_order - 1)
+        elif mode == "dpmpp":
+            m_mid = dynamic_thresholding(denoised_mid) if predict_x0 else d_mid
+            _push_unbounded(buffer, m_mid, 3)
+            _push_unbounded(buf_t, t_mid, 3)
+            x = _dpmpp_update_traced(x, buffer, buf_t, t_next,
+                                     min(dpmpp_order(step_cur + 1), len(buffer)),
+                                     predict_x0, scale_dir=sd)
+            buffer = [jax.lax.stop_gradient(m) for m in buffer]
+            buf_t = [jax.lax.stop_gradient(tt) for tt in buf_t]
+        if return_inters:
+            inters.append(x[None])
+
+    if denoise_to_zero:
+        x = denoise_b(x, jnp.asarray(t[-1], dtype))
+        if return_inters:
+            inters.append(x[None])
+
+    xs = jnp.concatenate(inters, axis=0) if return_inters else None
+    if train:
+        return SampleResult(x=x, xs=xs), (buffer, buf_t), (r, sd, st)
+    return SampleResult(x=x, xs=xs)
+
+
+def _push(buf: List, v, maxlen: int):
+    if maxlen <= 0:
+        return
+    if len(buf) == maxlen:
+        for k in range(maxlen - 1):
+            buf[k] = buf[k + 1]
+        buf[-1] = v
+    else:
+        buf.append(v)
+
+
+def _push_unbounded(buf: List, v, keep: int):
+    buf.append(v)
+    if len(buf) > keep:
+        del buf[0]
+
+
+def _dpmpp_update_traced(x, buf_m, buf_t, t_to, order, predict_x0,
+                         scale_dir=None):
+    """DPM-Solver++ multistep update with traced (possibly per-sample) times
+    (solvers_amed.py dpm_pp plugin; mirrors solver_utils.py:90-163)."""
+    t = t_to
+    m0 = buf_m[-1]
+    t0 = buf_t[-1]
+    lam_t, lam0 = -jnp.log(t), -jnp.log(t0)
+    h = lam_t - lam0
+    sd = scale_dir if scale_dir is not None else 1.0
+    if predict_x0:
+        phi_1 = jnp.expm1(-h)
+        if order == 1:
+            return (t / t0) * x - sd * phi_1 * m0
+        t1 = buf_t[-2]
+        lam1 = -jnp.log(t1)
+        r0 = (lam0 - lam1) / h
+        d1_0 = (m0 - buf_m[-2]) / r0
+        if order == 2:
+            return (t / t0) * x - sd * (phi_1 * m0 + 0.5 * phi_1 * d1_0)
+        t2 = buf_t[-3]
+        lam2 = -jnp.log(t2)
+        r1 = (lam1 - lam2) / h
+        d1_1 = (buf_m[-2] - buf_m[-3]) / r1
+        d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+        d2 = (d1_0 - d1_1) / (r0 + r1)
+        phi_2 = phi_1 / h + 1.0
+        phi_3 = phi_2 / h - 0.5
+        return (t / t0) * x - sd * (phi_1 * m0 - phi_2 * d1 + phi_3 * d2)
+    else:
+        phi_1 = jnp.expm1(h)
+        if order == 1:
+            return x - sd * t * phi_1 * m0
+        t1 = buf_t[-2]
+        lam1 = -jnp.log(t1)
+        r0 = (lam0 - lam1) / h
+        d1_0 = (m0 - buf_m[-2]) / r0
+        if order == 2:
+            return x - sd * (t * phi_1 * m0 + 0.5 * t * phi_1 * d1_0)
+        t2 = buf_t[-3]
+        lam2 = -jnp.log(t2)
+        r1 = (lam1 - lam2) / h
+        d1_1 = (buf_m[-2] - buf_m[-3]) / r1
+        d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+        d2 = (d1_0 - d1_1) / (r0 + r1)
+        phi_2 = phi_1 / h - 1.0
+        phi_3 = phi_2 / h - 0.5
+        return x - sd * (t * phi_1 * m0 + t * phi_2 * d1 + t * phi_3 * d2)
+
+
+def _make(mode):
+    def sampler(denoise_b, predictor_apply, latents, t_steps, **kw):
+        return _amed_family(denoise_b, predictor_apply, latents, t_steps,
+                            mode=mode, **kw)
+
+    sampler.__name__ = f"amed_{mode}_sampler"
+    return sampler
+
+
+amed_sampler = _make("amed")
+amed_euler_sampler = _make("euler")
+amed_ipndm_sampler = _make("ipndm")
+amed_dpm_2_sampler = _make("dpm")
+amed_dpm_pp_sampler = _make("dpmpp")
+
+AMED_SOLVER_REGISTRY = {
+    "amed": amed_sampler,
+    "euler": amed_euler_sampler,
+    "ipndm": amed_ipndm_sampler,
+    "dpm": amed_dpm_2_sampler,
+    "dpmpp": amed_dpm_pp_sampler,
+}

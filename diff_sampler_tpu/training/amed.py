@@ -1,0 +1,129 @@
+"""AMED predictor training (amed-solver-main/training/training_loop.py:82-283
++ training/loss.py:29-130), as one jitted program per trajectory:
+
+  * teacher trajectory: base solver with M inserted steps per segment,
+    captured with return_inters and sliced at student knots (loss.py:101-130),
+  * per-step student: the AMED-family sampler over one segment with
+    train=True (gradients flow only into the predictor outputs r/c_n/a_n;
+    the frozen U-Net is differentiated THROUGH, not into),
+  * per-step Adam update with nan_to_num on grads (training_loop.py:208-210),
+  * handoff: single-step students (euler/dpm/amed) restart each step from
+    the teacher state; multistep students continue from their own detached
+    output (training_loop.py:213-217),
+  * loss = (student - teacher)^2, summed / batch.
+
+Data-parallel: params replicated, batch sharded on the 'data' mesh axis
+(replaces DDP(predictor), training_loop.py:153).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops import get_schedule
+from ..solvers import get_sampler
+from ..solvers.amed import AMEDPredictor, _amed_family
+from .sfd import teacher_slice_indices
+
+__all__ = ["AMEDConfig", "make_amed_train_step", "predictor_from_config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class AMEDConfig:
+    """amed-solver-main/train.py:15-160 defaults.  The reference stores all
+    of these as predictor attributes for restore-at-sample-time
+    (training/networks.py:88-103); we serialize this dataclass as a JSON
+    sidecar instead."""
+
+    dataset_name: str = "cifar10"
+    num_steps: int = 4
+    sampler_stu: str = "amed"  # amed | euler | ipndm | dpm | dpmpp
+    sampler_tea: str = "heun"
+    M: int = 1
+    schedule_type: str = "polynomial"
+    schedule_rho: float = 7.0
+    afs: bool = False
+    scale_dir: float = 0.01
+    scale_time: float = 0.0
+    max_order: int = 4
+    predict_x0: bool = True
+    lower_order_final: bool = True
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    guidance_type: Optional[str] = None
+    guidance_rate: float = 1.0
+    lr: float = 5e-3
+    total_kimg: int = 10
+    batch: int = 512
+
+
+def predictor_from_config(cfg: AMEDConfig, bottleneck_dim: int = 64) -> AMEDPredictor:
+    return AMEDPredictor(bottleneck_input_dim=bottleneck_dim,
+                         scale_dir=cfg.scale_dir, scale_time=cfg.scale_time)
+
+
+def make_amed_train_step(predictor: AMEDPredictor, denoise_b, cfg: AMEDConfig,
+                         optimizer: optax.GradientTransformation):
+    """Build the jittable per-trajectory AMED training step.
+
+    denoise_b: BottleneckDenoiser over the FROZEN pre-trained net.
+    Returns train_step(pred_params, opt_state, latents) ->
+      (pred_params, opt_state, metrics); latents ~ N(0, 1).
+    """
+    t_steps = get_schedule(cfg.num_steps, cfg.sigma_min, cfg.sigma_max,
+                           cfg.schedule_type, cfg.schedule_rho)
+    n_tea = (cfg.M + 1) * (cfg.num_steps - 1) + 1
+    tea_t = get_schedule(n_tea, cfg.sigma_min, cfg.sigma_max,
+                         cfg.schedule_type, cfg.schedule_rho)
+    tea_idx = np.asarray(teacher_slice_indices(cfg.num_steps, cfg.M))
+    tea_sampler = get_sampler(cfg.sampler_tea)
+    single_step_stu = cfg.sampler_stu in ("euler", "dpm", "amed")
+
+    def teacher_traj(latents):
+        out = tea_sampler(denoise_b, latents, tea_t, return_inters=True,
+                          max_order=cfg.max_order, predict_x0=cfg.predict_x0,
+                          lower_order_final=cfg.lower_order_final)
+        return out.xs[tea_idx]
+
+    def train_step(pred_params, opt_state, latents):
+        tea = jax.lax.stop_gradient(teacher_traj(latents))
+        x = latents * jnp.float32(t_steps[0])
+        buffers = ([], [])
+        losses = []
+        for step_idx in range(cfg.num_steps - 1):
+            seg_t = t_steps[step_idx : step_idx + 2]
+
+            def seg_loss(pp, x_in, bufs):
+                def pred_apply(b, tc, tn):
+                    return predictor.apply({"params": pp}, b, tc, tn)
+
+                res, bufs_out, _ = _amed_family(
+                    denoise_b, pred_apply, x_in / jnp.float32(seg_t[0]), seg_t,
+                    mode=cfg.sampler_stu, afs=cfg.afs, max_order=cfg.max_order,
+                    predict_x0=cfg.predict_x0,
+                    lower_order_final=cfg.lower_order_final,
+                    buffer_in=bufs[0], buffer_t_in=bufs[1], train=True,
+                    step_idx=step_idx, total_num_steps=cfg.num_steps)
+                loss = ((res.x - tea[step_idx]) ** 2).sum() / x_in.shape[0]
+                return loss, (res.x, bufs_out)
+
+            (loss, (stu, buffers)), grads = jax.value_and_grad(
+                seg_loss, has_aux=True)(pred_params, x, buffers)
+            grads = jax.tree.map(
+                lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5),
+                grads)
+            updates, opt_state = optimizer.update(grads, opt_state, pred_params)
+            pred_params = optax.apply_updates(pred_params, updates)
+            losses.append(loss)
+            x = tea[step_idx] if single_step_stu else jax.lax.stop_gradient(stu)
+        losses = jnp.stack(losses)
+        return pred_params, opt_state, {"loss_per_step": losses,
+                                        "loss": losses.mean()}
+
+    return train_step
