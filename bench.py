@@ -35,8 +35,8 @@ def main():
     net = EDMPrecond(img_resolution=32, img_channels=3, label_dim=0,
                      model_type="SongUNet", model_kwargs=kwargs,
                      dtype=jnp.bfloat16)
-    params = net.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
-                      jnp.ones((1,)))["params"]
+    params = jax.jit(net.init)(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
+                               jnp.ones((1,)))["params"]
     den = bind(net, params)
 
     # flops per single denoiser eval (per image) from XLA cost analysis

@@ -1,0 +1,87 @@
+"""FID CLI: `calc` (images vs reference stats) and `ref` (build dataset
+stats), mirroring `diff-solvers-main/fid.py:90-165`.
+
+  python -m diff_sampler_tpu.cli.fid calc --images=out/ --ref=cifar10-32x32.npz
+  python -m diff_sampler_tpu.cli.fid ref --data=datasets/cifar10.zip --dest=ref.npz
+"""
+
+from __future__ import annotations
+
+import click
+import numpy as np
+
+from ..eval.dataset import ImageFolderDataset
+from ..eval.fid import (calculate_stats, compute_fid, load_stats,
+                        make_inception_feature_fn, save_stats)
+from ..parallel.mesh import print0
+
+
+def _feature_fn(inception_params_path):
+    import jax
+
+    from ..eval.inception import InceptionV3FID
+    from ..utils.checkpoint import load_params
+
+    net = InceptionV3FID()
+    if inception_params_path:
+        params = load_params(inception_params_path)["params"]
+    else:
+        import jax.numpy as jnp
+
+        print0("WARNING: no --inception params given; using random features "
+               "(pipeline smoke mode, FID values are meaningless)")
+        params = jax.jit(net.init)(jax.random.key(0),
+                                   jnp.zeros((1, 32, 32, 3), jnp.uint8))["params"]
+    return make_inception_feature_fn(params)
+
+
+def _stats_for_path(path, num_expected, batch, inception, seed=0):
+    ds = ImageFolderDataset(path, max_size=num_expected, random_seed=seed)
+    if num_expected is not None and len(ds) < num_expected:
+        raise click.ClickException(
+            f"Found {len(ds)} images, expected at least {num_expected}")
+    if len(ds) < 2:
+        raise click.ClickException("Need at least 2 images")
+    feature_fn = _feature_fn(inception)
+    return calculate_stats(feature_fn, (imgs for imgs, _ in ds.batches(batch)))
+
+
+@click.group()
+def main():
+    """Frechet Inception Distance."""
+
+
+@main.command()
+@click.option("--images", "image_path", type=str, required=True)
+@click.option("--ref", "ref_path", type=str, required=True)
+@click.option("--num", "num_expected", type=int, default=50000)
+@click.option("--batch", type=int, default=64)
+@click.option("--inception", type=str, default=None,
+              help="Path to imported Inception params (.npz)")
+@click.option("--strict-count/--no-strict-count", default=True,
+              help="Require 10k/30k/50k images (fid.py:43)")
+def calc(image_path, ref_path, num_expected, batch, inception, strict_count):
+    ds_len = len(ImageFolderDataset(image_path, max_size=num_expected))
+    if strict_count and ds_len not in (10000, 30000, 50000):
+        raise click.ClickException(
+            f"{ds_len} images found; expected 10k/30k/50k (use --no-strict-count)")
+    mu, sigma = _stats_for_path(image_path, num_expected if strict_count else None,
+                                batch, inception)
+    mu_ref, sigma_ref = load_stats(ref_path)
+    fid = compute_fid(mu, sigma, mu_ref, sigma_ref)
+    print0(f"FID: {fid:g}")
+
+
+@main.command()
+@click.option("--data", "dataset_path", type=str, required=True)
+@click.option("--dest", "dest_path", type=str, required=True)
+@click.option("--batch", type=int, default=64)
+@click.option("--inception", type=str, default=None)
+def ref(dataset_path, dest_path, batch, inception):
+    mu, sigma = _stats_for_path(dataset_path, None, batch, inception)
+    save_stats(dest_path, mu, sigma)
+    print0(f"Saved reference stats to {dest_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""AMED predictor training CLI (mirrors `amed-solver-main/train.py:15-160`).
+
+  python -m diff_sampler_tpu.cli.train_amed --dataset_name=cifar10 \\
+      --model_path=random --total_kimg=1 --batch=16
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import click
+import numpy as np
+
+from ..models.factory import create_model
+from ..parallel.mesh import data_sharding, get_mesh, print0, replicated
+from ..solvers.amed import bind_with_bottleneck, bottleneck_module_name
+from ..training.amed import (AMEDConfig, make_amed_train_step,
+                             predictor_from_config)
+from ..utils import checkpoint as ckpt
+from ..utils import stats as training_stats
+from ..utils.common import EasyDict, Logger
+from ..utils.profiling import Timer
+from ..utils.rng import stacked_randn
+
+
+@click.command()
+@click.option("--dataset_name", type=click.Choice(["cifar10", "ffhq", "afhqv2",
+                                                   "imagenet64"]), required=True)
+@click.option("--outdir", type=str, default="./exps")
+@click.option("--total_kimg", type=click.IntRange(min=1), default=10)
+@click.option("--model_path", type=str, default=None)
+@click.option("--num_steps", type=click.IntRange(min=2), default=4)
+@click.option("--sampler_stu", type=click.Choice(["amed", "euler", "ipndm",
+                                                  "dpm", "dpmpp"]), default="amed")
+@click.option("--sampler_tea", type=click.Choice(["heun", "dpm", "dpmpp",
+                                                  "euler", "ipndm"]), default="heun")
+@click.option("--m", "M", type=click.IntRange(min=0), default=1)
+@click.option("--schedule_type", type=str, default="polynomial")
+@click.option("--schedule_rho", type=float, default=7.0)
+@click.option("--afs", type=bool, default=False)
+@click.option("--scale_dir", type=float, default=0.01)
+@click.option("--scale_time", type=float, default=0.0)
+@click.option("--max_order", type=int, default=4)
+@click.option("--predict_x0", type=bool, default=True)
+@click.option("--lower_order_final", type=bool, default=True)
+@click.option("--batch", type=click.IntRange(min=1), default=512)
+@click.option("--lr", type=float, default=5e-3)
+@click.option("--desc", type=str, default=None)
+@click.option("--tick", type=click.IntRange(min=1), default=1)
+@click.option("--seed", type=int, default=0)
+@click.option("-n", "--dry-run", is_flag=True)
+def main(dataset_name, outdir, total_kimg, model_path, num_steps, sampler_stu,
+         sampler_tea, M, schedule_type, schedule_rho, afs, scale_dir,
+         scale_time, max_order, predict_x0, lower_order_final, batch, lr, desc,
+         tick, seed, dry_run):
+    import jax
+    import optax
+
+    cfg = AMEDConfig(dataset_name=dataset_name, num_steps=num_steps,
+                     sampler_stu=sampler_stu, sampler_tea=sampler_tea, M=M,
+                     schedule_type=schedule_type, schedule_rho=schedule_rho,
+                     afs=afs, scale_dir=scale_dir, scale_time=scale_time,
+                     max_order=max_order, predict_x0=predict_x0,
+                     lower_order_final=lower_order_final, lr=lr,
+                     total_kimg=total_kimg, batch=batch)
+    if dry_run:
+        print0("Training options:")
+        print0(json.dumps(dataclasses.asdict(cfg), indent=2))
+        print0("Dry run; exiting.")
+        return
+
+    run_desc = f"{dataset_name}-{num_steps}-{num_steps}-{sampler_stu}-{sampler_tea}" + (
+        f"-{desc}" if desc else "")
+    run_dir = ckpt.create_run_dir(outdir, run_desc)
+    logger = Logger(os.path.join(run_dir, "log.txt"), "a")
+    # Sampling-config-in-checkpoint pattern: JSON sidecar (SURVEY 5.4).
+    ckpt.save_config(os.path.join(run_dir, "predictor_config.json"), cfg)
+    print0(f"Run dir: {run_dir}")
+
+    module, params, _src = create_model(dataset_name, model_path)
+    den_b = bind_with_bottleneck(
+        module, params,
+        bottleneck_module_name(module.label_dim, module.img_resolution))
+
+    pred = predictor_from_config(cfg)
+    pred_params = jax.jit(pred.init)(jax.random.key(seed),
+                                     np.zeros((2, 64), np.float32),
+                                     np.float32(1.0), np.float32(0.5))["params"]
+    optimizer = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = optimizer.init(pred_params)
+
+    mesh = get_mesh()
+    rep = replicated(mesh)
+    shard = data_sharding(mesh, 4)
+    train_step = jax.jit(make_amed_train_step(pred, den_b, cfg, optimizer),
+                         in_shardings=(rep, rep, shard),
+                         out_shardings=(rep, rep, rep),
+                         donate_argnums=(0, 1))
+    pred_params = jax.device_put(pred_params, rep)
+    opt_state = jax.device_put(opt_state, rep)
+
+    res, chn = module.img_resolution, module.img_channels
+    collector = training_stats.default_collector
+    jsonl = training_stats.JsonlWriter(os.path.join(run_dir, "stats.jsonl"))
+    timer = Timer()
+    cur_nimg, it = 0, 0
+    print0(f"Training for {total_kimg} kimg (batch {batch})...")
+    while cur_nimg < total_kimg * 1000:
+        latents = stacked_randn(np.arange(it * batch, (it + 1) * batch) + seed,
+                                (res, res, chn))
+        latents = jax.device_put(latents, shard)
+        pred_params, opt_state, metrics = train_step(pred_params, opt_state,
+                                                     latents)
+        training_stats.report("Loss/loss", np.asarray(metrics["loss_per_step"]))
+        cur_nimg += batch
+        it += 1
+        if it % tick == 0 or cur_nimg >= total_kimg * 1000:
+            collector.update()
+            t = timer.tick(cur_nimg)
+            print0(f"kimg {cur_nimg/1e3:<8.2f} loss {collector.mean('Loss/loss'):<12.6f} "
+                   f"sec/kimg {t['sec_per_kimg']:<8.1f}")
+            jsonl.write(collector, kimg=cur_nimg / 1e3, **t)
+            collector.reset()
+    path = os.path.join(run_dir, "predictor.npz")
+    ckpt.save_params(path, jax.device_get(pred_params))
+    print0(f"Saved {path}")
+    print0("Done.")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""SFD distillation training CLI (mirrors `sfd-main/train.py:15-156`).
+
+  python -m diff_sampler_tpu.cli.train_sfd --dataset_name=cifar10 \\
+      --model_path=random --total_kimg=1 --batch=8
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import click
+import numpy as np
+
+from ..models.factory import create_model
+from ..parallel.mesh import (data_sharding, get_mesh, print0, replicated)
+from ..training.sfd import SFDConfig, make_train_step
+from ..utils import checkpoint as ckpt
+from ..utils import stats as training_stats
+from ..utils.common import EasyDict, Logger
+from ..utils.profiling import Timer, device_memory_stats
+from ..utils.rng import stacked_randn
+
+
+@click.command()
+@click.option("--dataset_name", type=click.Choice(["cifar10", "ffhq", "afhqv2",
+                                                   "imagenet64"]), required=True)
+@click.option("--outdir", type=str, default="./exps")
+@click.option("--total_kimg", type=click.IntRange(min=1), default=200)
+@click.option("--use_step_condition", type=bool, default=False)
+@click.option("--is_second_stage", type=bool, default=False)
+@click.option("--model_path", type=str, default=None)
+@click.option("--num_steps", type=click.IntRange(min=2), default=4)
+@click.option("--sampler_tea", type=click.Choice(["dpm", "dpmpp", "euler",
+                                                  "ipndm", "heun"]), default="dpmpp")
+@click.option("--m", "M", type=click.IntRange(min=0), default=3)
+@click.option("--schedule_type", type=str, default="polynomial")
+@click.option("--schedule_rho", type=float, default=7.0)
+@click.option("--afs", type=bool, default=True)
+@click.option("--max_order", type=int, default=3)
+@click.option("--predict_x0", type=bool, default=True)
+@click.option("--lower_order_final", type=bool, default=True)
+@click.option("--batch", type=click.IntRange(min=1), default=128)
+@click.option("--lr", type=float, default=5e-5)
+@click.option("--desc", type=str, default=None)
+@click.option("--tick", type=click.IntRange(min=1), default=10)
+@click.option("--snap", type=click.IntRange(min=1), default=10)
+@click.option("--seed", type=int, default=0)
+@click.option("-n", "--dry-run", is_flag=True)
+def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
+         model_path, num_steps, sampler_tea, M, schedule_type, schedule_rho,
+         afs, max_order, predict_x0, lower_order_final, batch, lr, desc, tick,
+         snap, seed, dry_run):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    cfg = SFDConfig(num_steps=num_steps, M=M, sampler_tea=sampler_tea,
+                    schedule_type=schedule_type, schedule_rho=schedule_rho,
+                    afs=afs, max_order=max_order, predict_x0=predict_x0,
+                    lower_order_final=lower_order_final,
+                    use_step_condition=use_step_condition,
+                    is_second_stage=is_second_stage,
+                    sigma_min=0.006, sigma_max=80.0)
+    run_desc = f"{dataset_name}-{num_steps}step-{sampler_tea}{M}" + (
+        f"-{desc}" if desc else "")
+    options = EasyDict(dataset_name=dataset_name, batch=batch, lr=lr,
+                       total_kimg=total_kimg, seed=seed,
+                       **dataclasses.asdict(cfg))
+    if dry_run:
+        print0("Training options:")
+        print0(json.dumps(options, indent=2))
+        print0("Dry run; exiting.")
+        return
+
+    run_dir = ckpt.create_run_dir(outdir, run_desc)
+    logger = Logger(os.path.join(run_dir, "log.txt"), "a")
+    ckpt.save_config(os.path.join(run_dir, "training_options.json"), options)
+    print0(f"Run dir: {run_dir}")
+
+    # Student net (trainable) + frozen teacher copy (training_loop.py:187).
+    module, params, _src = create_model(
+        dataset_name, model_path,
+        dtype=jnp.float32) if not use_step_condition else (
+        _create_step_cond(dataset_name, model_path))
+    teacher_params = jax.tree.map(lambda a: a.copy(), params)
+
+    # lr drops 10x at half training (training_loop.py:297-301).
+    half = (total_kimg * 1000) // (2 * batch)
+    schedule = optax.join_schedules([optax.constant_schedule(lr),
+                                     optax.constant_schedule(lr / 10.0)], [half])
+    optimizer = optax.adam(schedule)
+    opt_state = optimizer.init(params)
+
+    mesh = get_mesh()
+    rep = replicated(mesh)
+    shard = data_sharding(mesh, 4)
+    train_step = jax.jit(make_train_step(module, cfg, optimizer),
+                         in_shardings=(rep, rep, rep, shard),
+                         out_shardings=(rep, rep, rep),
+                         donate_argnums=(0, 1))
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(opt_state, rep)
+    teacher_params = jax.device_put(teacher_params, rep)
+
+    res, chn = module.img_resolution, module.img_channels
+    collector = training_stats.default_collector
+    jsonl = training_stats.JsonlWriter(os.path.join(run_dir, "stats.jsonl"))
+    timer = Timer()
+    cur_nimg, it = 0, 0
+    print0(f"Training for {total_kimg} kimg (batch {batch})...")
+    while cur_nimg < total_kimg * 1000:
+        latents = stacked_randn(np.arange(it * batch, (it + 1) * batch) + seed,
+                                (res, res, chn))
+        latents = jax.device_put(latents, shard)
+        params, opt_state, metrics = train_step(params, opt_state,
+                                                teacher_params, latents)
+        training_stats.report("Loss/loss", np.asarray(metrics["loss_per_step"]))
+        cur_nimg += batch
+        it += 1
+        if it % tick == 0 or cur_nimg >= total_kimg * 1000:
+            collector.update()
+            t = timer.tick(cur_nimg)
+            mem = device_memory_stats()
+            print0(f"kimg {cur_nimg/1e3:<8.2f} loss {collector.mean('Loss/loss'):<10.4f} "
+                   f"sec/kimg {t['sec_per_kimg']:<8.1f} "
+                   f"hbm {mem['peak_bytes_in_use_gib']:.2f}GiB")
+            jsonl.write(collector, kimg=cur_nimg / 1e3, **t)
+            collector.reset()
+        if it % (tick * snap) == 0 or cur_nimg >= total_kimg * 1000:
+            path = os.path.join(run_dir, f"snapshot-{cur_nimg//1000:06d}.npz")
+            ckpt.save_params(path, jax.device_get(params))
+            print0(f"Saved {path}")
+    print0("Done.")
+    logger.close()
+
+
+def _create_step_cond(dataset_name, model_path):
+    """SFD-v: rebuild the arch WITH step-condition modules then load the EMA
+    weights non-strictly (training_loop.py:46-110 create_model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.factory import build_edm_model, init_params
+
+    module = build_edm_model(dataset_name, use_step_condition=True,
+                             sigma_min=0.006)
+    params = init_params(module)
+    if model_path not in (None, "random"):
+        from ..models.zoo import load_checkpoint_params
+
+        loaded = load_checkpoint_params(model_path)
+
+        def merge(init_tree, loaded_tree):
+            out = {}
+            for k, v in init_tree.items():
+                if k in loaded_tree and isinstance(v, dict):
+                    out[k] = merge(v, loaded_tree[k])
+                elif k in loaded_tree:
+                    out[k] = jnp.asarray(loaded_tree[k])
+                else:
+                    out[k] = v  # new module (affine_step etc.) keeps init
+            return out
+
+        params = merge(params, loaded)
+    return module, params, "edm"
+
+
+if __name__ == "__main__":
+    main()

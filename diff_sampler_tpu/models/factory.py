@@ -1,0 +1,93 @@
+"""Model factory: dataset name -> wrapped denoiser (module, params, source).
+
+Rebuilds `diff-solvers-main/sample.py:76-121` + the arch tables of
+`sfd-main/training/training_loop.py:46-110`.  Because our checkpoint loader
+never executes pickled class code, the per-dataset architectures are spelled
+out here instead of being resurrected from the pickle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .precond import EDMPrecond
+
+__all__ = ["EDM_ARCHS", "build_edm_model", "create_model"]
+
+# dataset -> (interface kwargs, SongUNet/DhariwalUNet kwargs)
+# (sfd-main/training/training_loop.py:59-77)
+EDM_ARCHS: Dict[str, Tuple[Dict[str, Any], Dict[str, Any]]] = {
+    "cifar10": (
+        dict(img_resolution=32, img_channels=3, label_dim=0,
+             model_type="SongUNet"),
+        dict(embedding_type="positional", encoder_type="standard",
+             decoder_type="standard", channel_mult_noise=1,
+             resample_filter=[1, 1], model_channels=128,
+             channel_mult=[2, 2, 2], dropout=0.13, augment_dim=9),
+    ),
+    "ffhq": (
+        dict(img_resolution=64, img_channels=3, label_dim=0,
+             model_type="SongUNet"),
+        dict(embedding_type="positional", encoder_type="standard",
+             decoder_type="standard", channel_mult_noise=1,
+             resample_filter=[1, 1], model_channels=128,
+             channel_mult=[1, 2, 2, 2], dropout=0.05, augment_dim=9),
+    ),
+    "imagenet64": (
+        dict(img_resolution=64, img_channels=3, label_dim=1000,
+             model_type="DhariwalUNet"),
+        dict(model_channels=192, channel_mult=[1, 2, 3, 4]),
+    ),
+}
+EDM_ARCHS["afhqv2"] = EDM_ARCHS["ffhq"]
+
+
+def build_edm_model(dataset_name: str, *, use_step_condition: bool = False,
+                    dtype=jnp.float32, sigma_min: Optional[float] = None,
+                    sigma_max: float = 80.0) -> EDMPrecond:
+    """Construct the (uninitialized) EDMPrecond module for a dataset."""
+    interface, kwargs = EDM_ARCHS[dataset_name]
+    kwargs = dict(kwargs)
+    if use_step_condition:
+        kwargs["use_step_condition"] = True
+    # sfd training_loop.py:83-84 narrows sigma_min to 0.006 for EDM models at
+    # distillation time; sampling uses the checkpoint's native 0.002.
+    return EDMPrecond(sigma_min=sigma_min if sigma_min is not None else 0.002,
+                      sigma_max=sigma_max, dtype=dtype,
+                      model_kwargs=kwargs, **interface)
+
+
+def init_params(module: EDMPrecond, seed: int = 0):
+    res, ch = module.img_resolution, module.img_channels
+    # jit the init: eager flax init over the axon TPU tunnel is minutes-slow
+    return jax.jit(module.init)(jax.random.key(seed),
+                                jnp.zeros((1, res, res, ch)),
+                                jnp.ones((1,)))["params"]
+
+
+def create_model(dataset_name: str, model_path: Optional[str] = None,
+                 guidance_type: Optional[str] = None,
+                 guidance_rate: float = 1.0, dtype=jnp.float32):
+    """Returns (precond_module, params, model_source).
+
+    With model_path=None, resolves the checkpoint through the zoo registry
+    (requires network or a local file); with model_path='random', returns
+    freshly initialized parameters (useful for smoke tests/benchmarks).
+    """
+    if dataset_name in EDM_ARCHS:
+        module = build_edm_model(dataset_name, dtype=dtype)
+        if model_path == "random":
+            return module, init_params(module), "edm"
+        if model_path is None:
+            from .zoo import check_file_by_key
+
+            model_path, _ = check_file_by_key(dataset_name)
+        from .zoo import load_checkpoint_params
+
+        return module, load_checkpoint_params(model_path), "edm"
+    raise NotImplementedError(
+        f"model tier for '{dataset_name}' not yet wired into the factory "
+        "(EDM datasets available: cifar10/ffhq/afhqv2/imagenet64)")

@@ -1,0 +1,108 @@
+"""Training statistics: lock-free accumulation + periodic collection.
+
+Rebuilds `torch_utils/training_stats.py`: report/report0 (:55,102) accumulate
+[num, sum, sum-of-squares] per metric; Collector (:112,233-) snapshots
+mean/std.  Cross-process sync (the reference all_reduces across ranks) uses
+`jax.experimental.multihost_utils` when world_size > 1; in single-process
+SPMD the device-side values are already global.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["report", "report0", "Collector", "default_collector"]
+
+_counters: Dict[str, np.ndarray] = {}
+
+
+def report(name: str, value) -> None:
+    """Accumulate a scalar/array into the named counter
+    (training_stats.py:55-99)."""
+    v = np.asarray(value, np.float64).ravel()
+    if v.size == 0:
+        return
+    moments = np.array([v.size, v.sum(), np.square(v).sum()], np.float64)
+    _counters[name] = _counters.get(name, np.zeros(3)) + moments
+
+
+def report0(name: str, value) -> None:
+    """Accumulate only on process 0 (training_stats.py:102-109)."""
+    if jax.process_index() == 0:
+        report(name, value)
+
+
+class Collector:
+    """Snapshot accumulated counters into mean/std/num, then reset
+    (training_stats.py:112-230)."""
+
+    def __init__(self):
+        self._stats: Dict[str, np.ndarray] = {}
+
+    def update(self) -> None:
+        global _counters
+        pending = _counters
+        _counters = {}
+        if jax.process_count() > 1:  # pragma: no cover - multihost only
+            from jax.experimental import multihost_utils
+
+            names = sorted(pending)
+            if names:
+                stacked = np.stack([pending[n] for n in names])
+                summed = np.asarray(
+                    multihost_utils.process_allgather(stacked)).sum(axis=0)
+                pending = {n: summed[i] for i, n in enumerate(names)}
+        for name, m in pending.items():
+            self._stats[name] = self._stats.get(name, np.zeros(3)) + m
+
+    def names(self):
+        return sorted(self._stats)
+
+    def num(self, name) -> int:
+        return int(self._stats.get(name, np.zeros(3))[0])
+
+    def mean(self, name) -> float:
+        m = self._stats.get(name)
+        if m is None or m[0] == 0:
+            return float("nan")
+        return float(m[1] / m[0])
+
+    def std(self, name) -> float:
+        m = self._stats.get(name)
+        if m is None or m[0] < 2:
+            return 0.0
+        mean = m[1] / m[0]
+        var = max(m[2] / m[0] - mean**2, 0.0)
+        return float(np.sqrt(var))
+
+    def as_dict(self) -> Dict[str, Dict[str, float]]:
+        return {n: {"num": self.num(n), "mean": self.mean(n), "std": self.std(n)}
+                for n in self.names()}
+
+    def reset(self) -> None:
+        self._stats = {}
+
+
+default_collector = Collector()
+
+
+class JsonlWriter:
+    """Per-tick stats.jsonl dump (amed training_loop.py:264-269)."""
+
+    def __init__(self, path: str):
+        self.file = open(path, "at")
+
+    def write(self, collector: Collector, **extra) -> None:
+        record = {k: v for k, v in collector.as_dict().items()}
+        record.update(extra)
+        record["timestamp"] = time.time()
+        self.file.write(json.dumps(record) + "\n")
+        self.file.flush()
+
+    def close(self):
+        self.file.close()
