@@ -83,8 +83,24 @@ def main(dataset_name, model_path, max_batch_size, seeds, grid, outdir, subdirs,
 
     shape = (module.img_resolution, module.img_resolution, module.img_channels)
     mesh = get_mesh()
+    cond_kw = {}
+    if getattr(module, "label_dim", 0):
+        # per-seed random class labels (sample.py:276-281); int labels for
+        # the classifier-guided ADM path, one-hot for EDM.
+        import flax.linen as fnn
+
+        if isinstance(module, fnn.Module):
+            cond_kw = dict(
+                label_dim=module.label_dim, label_kind="onehot",
+                denoise_with_labels=lambda x, t, lab: module.apply(
+                    {"params": params}, x, t, lab))
+        else:
+            cond_kw = dict(
+                label_dim=module.label_dim, label_kind="int",
+                denoise_with_labels=lambda x, t, lab: module(
+                    x, t, class_labels=lab))
     images = generate(den, seeds, shape, cfg, mesh=mesh,
-                      max_batch_size=max_batch_size)
+                      max_batch_size=max_batch_size, **cond_kw)
     images = to_uint8(images)
 
     outdir = outdir or f"samples/{dataset_name}-{solver}-{num_steps}"

@@ -88,6 +88,79 @@ def create_model(dataset_name: str, model_path: Optional[str] = None,
         from .zoo import load_checkpoint_params
 
         return module, load_checkpoint_params(model_path), "edm"
+    if dataset_name == "lsun_bedroom":
+        return (*build_cm_model(model_path, dtype=dtype), "cm")
+    if dataset_name == "imagenet256":
+        return (*build_cg_model(model_path, guidance_rate, dtype=dtype), "adm")
     raise NotImplementedError(
         f"model tier for '{dataset_name}' not yet wired into the factory "
-        "(EDM datasets available: cifar10/ffhq/afhqv2/imagenet64)")
+        "(available: cifar10/ffhq/afhqv2/imagenet64/lsun_bedroom/imagenet256)")
+
+
+def _adm_params(module, model_path, seed):
+    if model_path == "random":
+        res, ch = module.image_size, module.in_channels
+        return jax.jit(module.init)(jax.random.key(seed),
+                                    jnp.zeros((1, res, res, ch)),
+                                    jnp.ones((1,)))["params"]
+    from .adm import adm_state_dict_to_params
+    from .torch_import import load_torch_file, torch_state_dict
+
+    return adm_state_dict_to_params(torch_state_dict(load_torch_file(model_path)))
+
+
+def build_cm_model(model_path=None, dtype=jnp.float32):
+    """LSUN-Bedroom consistency-models checkpoint -> CMPrecond
+    (cm_model_loader.py:95-127, networks_edm.py:504-552)."""
+    from .adm import ADMUNet, CM_LSUN_SETTING
+    from .precond import CMPrecond
+
+    net = ADMUNet(dtype=dtype, **CM_LSUN_SETTING)
+    if model_path is None:
+        from .zoo import check_file_by_key
+
+        model_path, _ = check_file_by_key("lsun_bedroom")
+    params = _adm_params(net, model_path, 0)
+
+    def model_fn(x, rescaled_t, class_labels):
+        return net.apply({"params": params}, x, rescaled_t, None)
+
+    precond = CMPrecond(model_fn=model_fn, img_resolution=256, img_channels=3,
+                        label_dim=0)
+    return precond, params
+
+
+def build_cg_model(model_path=None, guidance_rate=1.0, classifier_path=None,
+                   dtype=jnp.float32):
+    """ImageNet-256 ADM + noisy classifier -> CGPrecond
+    (cg_model_loader.py:109-160, networks_edm.py:557-625)."""
+    from .adm import (ADMClassifier, ADMUNet, IMAGENET256_CLASSIFIER_SETTING,
+                      IMAGENET256_SETTING)
+    from .precond import CGPrecond
+
+    net = ADMUNet(dtype=dtype, **IMAGENET256_SETTING)
+    cls = ADMClassifier(dtype=dtype, **IMAGENET256_CLASSIFIER_SETTING)
+    if model_path is None:
+        from .zoo import check_file_by_key
+
+        model_path, companions = check_file_by_key("imagenet256")
+        classifier_path = companions[0]
+    params = _adm_params(net, model_path, 0)
+    if model_path == "random":
+        res = cls.image_size
+        cls_params = jax.jit(cls.init)(jax.random.key(1),
+                                       jnp.zeros((1, res, res, 3)),
+                                       jnp.ones((1,)))["params"]
+    else:
+        from .adm import adm_state_dict_to_params
+        from .torch_import import load_torch_file, torch_state_dict
+
+        cls_params = adm_state_dict_to_params(
+            torch_state_dict(load_torch_file(classifier_path)))
+
+    precond = CGPrecond(
+        model_fn=lambda x, t, y: net.apply({"params": params}, x, t, y),
+        classifier_fn=lambda x, t: cls.apply({"params": cls_params}, x, t),
+        img_resolution=256, img_channels=3, label_dim=1000,
+        guidance_rate=guidance_rate)
+    return precond, {"model": params, "classifier": cls_params}

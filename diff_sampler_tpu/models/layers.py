@@ -196,16 +196,14 @@ def attention(qkv: jax.Array, num_heads: int) -> jax.Array:
     (head, c_per_head, qkv) -- the reference's interleaved layout.
     Returns [N, H, W, C].
     """
+    from ..ops.pallas_attention import sdpa
+
     n, h, w, c3 = qkv.shape
     c = c3 // 3
     ch = c // num_heads
     t = qkv.reshape(n, h * w, num_heads, ch, 3)
     q, k, v = t[..., 0], t[..., 1], t[..., 2]  # [N, HW, heads, ch]
-    q = q.astype(jnp.float32)
-    k = k.astype(jnp.float32) / math.sqrt(ch)
-    logits = jnp.einsum("nqhc,nkhc->nhqk", q, k)
-    wgt = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
-    out = jnp.einsum("nhqk,nkhc->nqhc", wgt, v)
+    out = sdpa(q, k, v, scale=1.0 / math.sqrt(ch))
     return out.reshape(n, h, w, c)
 
 

@@ -1,0 +1,167 @@
+"""Fused (flash-style) attention Pallas kernel for TPU.
+
+The 'native tier' of this framework (SURVEY.md 2.9): the reference's
+performance-critical ops are stock cuDNN/cuBLAS calls; here the hot
+self-attention of the U-Nets becomes a tiled Pallas kernel that never
+materializes the [T, T] logits matrix in HBM (classic online-softmax
+flash attention), with fp32 softmax matching the reference's AttentionOp
+(`networks_edm.py:105-118`) and guided-diffusion QKVAttention
+(`guided_diffusion/unet.py:328-392`).
+
+Layout: q, k, v are [B, T, d] per (batch*head); d is zero-padded to a lane
+multiple of 128 outside the kernel.  The backward pass recomputes attention
+naively under custom_vjp (training shapes are <= 64x64 tokens, where the
+quadratic recompute fits easily).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention", "sdpa"]
+
+_NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len):
+    """One (bh, q_tile) program: online softmax over K tiles."""
+    q = q_ref[0].astype(jnp.float32) * scale  # [bq, d]
+    bq = q.shape[0]
+    d = q.shape[1]
+    num_k = seq_len // block_k
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk]
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _m, l = jax.lax.fori_loop(0, num_k, body, (acc, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, multiple):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x, size
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), size
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def _flash_fwd(q, k, v, scale, block_q=256, block_k=256, interpret=False):
+    """q, k, v: [B, T, d] -> [B, T, d]."""
+    b, t, d = q.shape
+    q, _ = _pad_to(q, 2, 128)
+    k, _ = _pad_to(k, 2, 128)
+    v, _ = _pad_to(v, 2, 128)
+    dp = q.shape[2]
+    block_q = min(block_q, t)
+    block_k = min(block_k, t)
+    # pad T so both tile sizes divide it (mask via -inf is unnecessary when
+    # padding K with zeros AND tracking max from real entries; to stay exact
+    # we require divisibility instead and pad q rows only)
+    tq = ((t + block_q - 1) // block_q) * block_q
+    tk = ((t + block_k - 1) // block_k) * block_k
+    if tk != t:
+        # pad keys with -inf logits: zero keys give logit 0 which would leak
+        # weight; instead pad k with zeros and v with zeros, then correct by
+        # masking: simplest exact route is to fall back to jnp for ragged T.
+        raise ValueError(f"sequence length {t} must be divisible by block_k")
+    if tq != t:
+        raise ValueError(f"sequence length {t} must be divisible by block_q")
+
+    grid = (b, t // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, block_k=block_k,
+                          seq_len=t),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, t, dp), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, t, dp), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda bi, qi: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, dp), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :, :d]
+
+
+def _reference_sdpa(q, k, v, scale):
+    logits = jnp.einsum("btd,bsd->bts", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32))
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bts,bsd->btd", w, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(q, k, v, scale, interpret=False):
+    """Fused attention: softmax(q k^T * scale) v, fp32 softmax.
+
+    q, k, v: [B, T, d] (B folds batch*heads).  T must be divisible by the
+    256 tile size (use sdpa() for automatic dispatch)."""
+    return _flash_fwd(q, k, v, scale, interpret=interpret)
+
+
+def _fwd(q, k, v, scale, interpret):
+    return flash_attention(q, k, v, scale, interpret), (q, k, v)
+
+
+def _bwd(scale, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _reference_sdpa(q_, k_, v_, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)
+
+
+def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 1024,
+         force_flash: bool = False):
+    """Scaled-dot-product attention dispatcher.
+
+    q, k, v: [B, T, H, d] (multi-head, NHWC-style token layout).
+    Uses the Pallas flash kernel on TPU for long sequences (T >= 1024 and
+    tile-divisible); falls back to the fp32-softmax einsum otherwise.
+    Returns [B, T, H, d].
+    """
+    b, t, h, d = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    on_tpu = jax.default_backend() == "tpu"
+    use_flash = force_flash or (on_tpu and t >= min_flash_tokens and t % 256 == 0)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    if use_flash:
+        out = flash_attention(qf, kf, vf, float(scale),
+                              not on_tpu)  # interpret off-TPU (tests)
+    else:
+        out = _reference_sdpa(qf, kf, vf, scale)
+    return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)

@@ -85,10 +85,19 @@ def build_sample_fn(denoise, cfg: SolverConfig, *, sigma_fn=None, sigma_inv_fn=N
 
 def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
              cfg: SolverConfig, *, mesh=None, max_batch_size: int = 64,
-             sigma_fn=None, sigma_inv_fn=None, dtype=jnp.float32) -> np.ndarray:
+             sigma_fn=None, sigma_inv_fn=None, dtype=jnp.float32,
+             label_dim: int = 0, label_kind: str = "onehot",
+             denoise_with_labels=None, class_idx=None) -> np.ndarray:
     """Generate len(seeds) samples, data-parallel over the mesh.
 
     sample_shape: per-sample shape, e.g. (32, 32, 3) NHWC.
+
+    Conditional models: pass `denoise_with_labels(x, t, labels)` plus
+    label_dim; per-seed random class labels are drawn deterministically
+    (seed i -> same class at any batch split, mirroring
+    `sample.py:276-281`), one-hot for EDM or integer for ADM
+    (label_kind='int').  `class_idx` pins a single class.
+
     Returns a float32 numpy array [len(seeds), *sample_shape].
     """
     if mesh is None:
@@ -97,10 +106,24 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
     seeds = np.asarray(list(seeds), dtype=np.int64)
     n = len(seeds)
 
-    fn = build_sample_fn(denoise, cfg, sigma_fn=sigma_fn, sigma_inv_fn=sigma_inv_fn,
-                         dtype=dtype)
+    conditional = label_dim > 0 and denoise_with_labels is not None
     sharding = pm.data_sharding(mesh, 1 + len(sample_shape))
-    jfn = jax.jit(lambda lat: fn(lat), in_shardings=sharding, out_shardings=sharding)
+    lab_sharding = pm.data_sharding(mesh, 2 if label_kind == "onehot" else 1)
+
+    if conditional:
+        def jbody(lat, labels):
+            den = type(denoise)(
+                fn=lambda x, t: denoise_with_labels(x, t, labels),
+                sigma_min=denoise.sigma_min, sigma_max=denoise.sigma_max)
+            return build_sample_fn(den, cfg, sigma_fn=sigma_fn,
+                                   sigma_inv_fn=sigma_inv_fn, dtype=dtype)(lat)
+
+        jfn = jax.jit(jbody, in_shardings=(sharding, lab_sharding),
+                      out_shardings=sharding)
+    else:
+        fn = build_sample_fn(denoise, cfg, sigma_fn=sigma_fn,
+                             sigma_inv_fn=sigma_inv_fn, dtype=dtype)
+        jfn = jax.jit(fn, in_shardings=sharding, out_shardings=sharding)
 
     batch = min(max_batch_size * n_dev, pm.pad_to_multiple(n, n_dev))
     batch = pm.pad_to_multiple(batch, n_dev)
@@ -111,7 +134,19 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
         chunk_p = np.concatenate([chunk, chunk[-1:].repeat(pad)]) if pad else chunk
         latents = stacked_randn(jnp.asarray(chunk_p), sample_shape, dtype)
         latents = jax.device_put(latents, sharding)
-        x = np.asarray(jfn(latents), dtype=np.float32)
+        if conditional:
+            if class_idx is not None:
+                idx = jnp.full((len(chunk_p),), class_idx, jnp.int32)
+            else:
+                from .utils.rng import stacked_randint
+
+                idx = stacked_randint(jnp.asarray(chunk_p), (), 0, label_dim)
+            labels = (jax.nn.one_hot(idx, label_dim)
+                      if label_kind == "onehot" else idx)
+            labels = jax.device_put(labels, lab_sharding)
+            x = np.asarray(jfn(latents, labels), dtype=np.float32)
+        else:
+            x = np.asarray(jfn(latents), dtype=np.float32)
         out[start : start + len(chunk)] = x[: len(chunk)]
     return out
 
