@@ -69,7 +69,15 @@ def main(dataset_name, model_path, max_batch_size, seeds, grid, outdir, subdirs,
     module, params, model_source = create_model(
         dataset_name, model_path, guidance_type, guidance_rate,
         dtype=jnp.bfloat16 if bf16 else jnp.float32)
-    den = bind(module, params)
+    cond = {}
+    if model_source in ("ldm", "sd") and prompt is not None:
+        ld = module.latent_diffusion
+        c = ld.get_learned_conditioning([prompt])
+        cond["condition"] = jnp.asarray(c)
+        if guidance_rate not in (None, 1.0):
+            cond["unconditional_condition"] = jnp.asarray(
+                ld.get_learned_conditioning([""]))
+    den = bind(module, params, **cond)
 
     explicit_t = tuple(ast.literal_eval(t_steps)) if t_steps else None
     cfg = SolverConfig(solver=solver, num_steps=num_steps,
@@ -99,8 +107,25 @@ def main(dataset_name, model_path, max_batch_size, seeds, grid, outdir, subdirs,
                 label_dim=module.label_dim, label_kind="int",
                 denoise_with_labels=lambda x, t, lab: module(
                     x, t, class_labels=lab))
+    # LDM/SD: sample in latent space with the model's discrete schedule.
+    sched_kw = {}
+    if model_source in ("ldm", "sd"):
+        sched_kw = dict(sigma_fn=module.sigma, sigma_inv_fn=module.sigma_inv)
+        if schedule_type == "polynomial" and t_steps is None:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, schedule_type="discrete", schedule_rho=1.0)
     images = generate(den, seeds, shape, cfg, mesh=mesh,
-                      max_batch_size=max_batch_size, **cond_kw)
+                      max_batch_size=max_batch_size, **cond_kw, **sched_kw)
+    if model_source in ("ldm", "sd"):
+        import jax
+
+        import numpy as _np
+
+        dec = jax.jit(module.latent_diffusion.decode_first_stage)
+        images = _np.concatenate(
+            [_np.asarray(dec(jnp.asarray(images[i:i + 16])), _np.float32)
+             for i in range(0, len(images), 16)])
     images = to_uint8(images)
 
     outdir = outdir or f"samples/{dataset_name}-{solver}-{num_steps}"

@@ -92,9 +92,66 @@ def create_model(dataset_name: str, model_path: Optional[str] = None,
         return (*build_cm_model(model_path, dtype=dtype), "cm")
     if dataset_name == "imagenet256":
         return (*build_cg_model(model_path, guidance_rate, dtype=dtype), "adm")
+    if dataset_name in ("lsun_bedroom_ldm", "ffhq_ldm", "ms_coco"):
+        return (*build_ldm_model(dataset_name, model_path,
+                                 guidance_type=guidance_type,
+                                 guidance_rate=guidance_rate, dtype=dtype),
+                "ldm" if dataset_name != "ms_coco" else "sd")
     raise NotImplementedError(
-        f"model tier for '{dataset_name}' not yet wired into the factory "
-        "(available: cifar10/ffhq/afhqv2/imagenet64/lsun_bedroom/imagenet256)")
+        f"model tier for '{dataset_name}' not wired into the factory; "
+        f"available: cifar10/ffhq/afhqv2/imagenet64/lsun_bedroom/imagenet256/"
+        f"lsun_bedroom_ldm/ffhq_ldm/ms_coco")
+
+
+def build_ldm_model(dataset_name, model_path=None, guidance_type=None,
+                    guidance_rate=1.0, dtype=jnp.float32):
+    """LDM/SD checkpoints -> CFGPrecond over a LatentDiffusion stack
+    (sfd training_loop.py:86-108 create_model LDM branch)."""
+    from .ldm import build_latent_diffusion
+    from .precond import CFGPrecond
+
+    state_dict = None
+    if model_path not in (None, "random"):
+        from .torch_import import load_torch_file, torch_state_dict
+
+        state_dict = torch_state_dict(load_torch_file(model_path))
+    elif model_path is None:
+        from .zoo import check_file_by_key
+
+        model_path, _companions = check_file_by_key(dataset_name)
+        from .torch_import import load_torch_file, torch_state_dict
+
+        state_dict = torch_state_dict(load_torch_file(model_path))
+
+    cond_fn = None
+    if dataset_name == "ms_coco" and state_dict is not None:
+        from .ldm import ldm_state_dict_to_params
+        from .text import FrozenCLIPEmbedder, clip_text_params_from_state_dict
+
+        trees = ldm_state_dict_to_params(state_dict)
+        if trees["cond_stage"]:
+            cond_fn = FrozenCLIPEmbedder(
+                clip_text_params_from_state_dict(trees["cond_stage"]))
+
+    ld = build_latent_diffusion(dataset_name, state_dict=state_dict,
+                                cond_stage_fn=cond_fn, dtype=dtype)
+
+    if dataset_name == "ms_coco":
+        precond = CFGPrecond(
+            model_fn=lambda x, t, cond: ld.apply_model(x, t, cond),
+            alphas_cumprod=ld.alphas_cumprod, img_resolution=64,
+            img_channels=4, guidance_type="classifier-free",
+            guidance_rate=guidance_rate, epsilon_t=1e-3, label_dim=1)
+        precond.sigma_min = 0.1  # sfd training_loop.py:105
+    else:
+        precond = CFGPrecond(
+            model_fn=lambda x, t, cond: ld.apply_model(x, t, None),
+            alphas_cumprod=ld.alphas_cumprod, img_resolution=64,
+            img_channels=3, guidance_type="uncond", guidance_rate=1.0,
+            label_dim=0)
+        precond.sigma_min = 0.006  # sfd training_loop.py:94,99
+    precond.latent_diffusion = ld
+    return precond, None
 
 
 def _adm_params(module, model_path, seed):

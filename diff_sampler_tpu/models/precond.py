@@ -216,8 +216,8 @@ class CFGPrecond:
         self.M = len(log_alphas)
         self.t_array = jnp.asarray(np.linspace(0.0, 1.0, self.M + 1)[1:], jnp.float32)
         self.log_alpha_array = jnp.asarray(log_alphas, jnp.float32)
-        self.sigma_min = float(self.sigma(self.epsilon_t))
-        self.sigma_max = float(self.sigma(1.0))
+        self.sigma_min = float(np.asarray(self.sigma(self.epsilon_t)).reshape(()))
+        self.sigma_max = float(np.asarray(self.sigma(1.0)).reshape(()))
 
     def marginal_log_mean_coeff(self, t):
         return interpolate_fn(jnp.asarray(t, jnp.float32), self.t_array,
