@@ -1,0 +1,108 @@
+"""Dataset -> zip converter (EDM-style), mirroring
+`amed-solver-main/dataset_tool.py:31-440`: folder / CIFAR-10 python archive /
+npz inputs -> a zip of PNGs with an optional dataset.json label manifest,
+consumable by eval.dataset.ImageFolderDataset and fid ref.
+
+  python -m diff_sampler_tpu.cli.dataset_tool --source=cifar-10-python.tar.gz \\
+      --dest=datasets/cifar10.zip
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+import zipfile
+
+import click
+import numpy as np
+
+
+def _iter_folder(path):
+    exts = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+    fnames = sorted(
+        os.path.relpath(os.path.join(r, f), path)
+        for r, _d, files in os.walk(path) for f in files
+        if os.path.splitext(f)[1].lower() in exts)
+    labels = None
+    meta = os.path.join(path, "dataset.json")
+    if os.path.isfile(meta):
+        with open(meta) as f:
+            labels = dict(json.load(f)["labels"])
+    import PIL.Image
+
+    for fname in fnames:
+        with PIL.Image.open(os.path.join(path, fname)) as im:
+            arr = np.array(im.convert("RGB"))
+        yield arr, (labels.get(fname.replace("\\", "/")) if labels else None)
+
+
+def _iter_cifar10(path):
+    """CIFAR-10 python-version tar.gz (dataset_tool.py open_cifar10)."""
+    import pickle
+
+    with tarfile.open(path) as tar:
+        for batch in [f"data_batch_{i}" for i in range(1, 6)]:
+            member = next(m for m in tar.getmembers() if m.name.endswith(batch))
+            with tar.extractfile(member) as f:
+                data = pickle.load(f, encoding="latin1")
+            images = data["data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+            for img, label in zip(images, data["labels"]):
+                yield img, int(label)
+
+
+def _iter_npz(path):
+    with np.load(path) as f:
+        images = f[f.files[0]]
+        labels = f[f.files[1]] if len(f.files) > 1 else [None] * len(images)
+    if images.ndim == 4 and images.shape[1] in (1, 3):  # NCHW -> NHWC
+        images = images.transpose(0, 2, 3, 1)
+    for img, label in zip(images, labels):
+        yield img, (int(label) if label is not None else None)
+
+
+@click.command()
+@click.option("--source", type=str, required=True,
+              help="folder | cifar-10-python.tar.gz | .npz")
+@click.option("--dest", type=str, required=True, help="output .zip")
+@click.option("--resolution", type=int, default=None)
+@click.option("--max-images", type=int, default=None)
+def main(source, dest, resolution, max_images):
+    import PIL.Image
+
+    if os.path.isdir(source):
+        it = _iter_folder(source)
+    elif source.endswith((".tar.gz", ".tgz")):
+        it = _iter_cifar10(source)
+    elif source.endswith(".npz"):
+        it = _iter_npz(source)
+    else:
+        raise click.ClickException(f"unsupported source: {source}")
+
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    labels = []
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_STORED) as zf:
+        count = 0
+        for img, label in it:
+            if max_images is not None and count >= max_images:
+                break
+            if resolution and img.shape[0] != resolution:
+                pim = PIL.Image.fromarray(img).resize(
+                    (resolution, resolution), PIL.Image.LANCZOS)
+                img = np.array(pim)
+            fname = f"{count // 1000:05d}/img{count:08d}.png"
+            buf = io.BytesIO()
+            PIL.Image.fromarray(img).save(buf, format="png", compress_level=0,
+                                          optimize=False)
+            zf.writestr(fname, buf.getvalue())
+            if label is not None:
+                labels.append([fname, label])
+            count += 1
+        if labels:
+            zf.writestr("dataset.json", json.dumps({"labels": labels}))
+    print(f"Wrote {count} images to {dest}" + (" (with labels)" if labels else ""))
+
+
+if __name__ == "__main__":
+    main()

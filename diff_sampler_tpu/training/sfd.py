@@ -63,12 +63,15 @@ def teacher_slice_indices(num_steps: int, M: int) -> list:
     return [i * (M + 1) for i in range(1, num_steps)]
 
 
-def make_train_step(precond, cfg: SFDConfig, optimizer: optax.GradientTransformation):
+def make_train_step(precond, cfg: SFDConfig, optimizer: optax.GradientTransformation,
+                    lpips_fn=None):
     """Build the jittable per-trajectory training step.
 
     precond: the EDMPrecond flax module (trainable student AND frozen teacher
     share the architecture; the teacher holds its own frozen params copy,
     training_loop.py:187).
+    lpips_fn: optional (a, b) -> [B] perceptual distance, added at the final
+    step of second-stage distillation (loss.py:87-88,130-135).
 
     Returns train_step(params, opt_state, teacher_params, latents, labels, key)
       -> (params, opt_state, metrics)
@@ -105,7 +108,7 @@ def make_train_step(precond, cfg: SFDConfig, optimizer: optax.GradientTransforma
         tea = jax.lax.stop_gradient(teacher_traj(teacher_params, latents, labels))
         x0 = latents * jnp.float32(t_steps[0])
 
-        def seg_loss(p, x, tc, tn, afs_flag, tea_i):
+        def seg_loss(p, x, tc, tn, afs_flag, tea_i, is_last):
             d = jax.lax.cond(
                 afs_flag,
                 lambda: x / jnp.sqrt(1.0 + tc**2),
@@ -113,14 +116,21 @@ def make_train_step(precond, cfg: SFDConfig, optimizer: optax.GradientTransforma
             )
             stu = x + (tn - tc) * d
             # L1, normalized per-batch (training_loop.py:283: sum / batch)
-            loss = jnp.abs(stu - tea_i).sum() / x.shape[0]
+            elem = jnp.abs(stu - tea_i)
+            if cfg.is_second_stage and lpips_fn is not None:
+                # lpips mean broadcast-added at the final step (loss.py:87-88)
+                elem = elem + jnp.where(is_last, lpips_fn(stu, tea_i).mean(), 0.0)
+            loss = elem.sum() / x.shape[0]
             return loss, stu
+
+        is_last_flags = jnp.asarray(
+            [i == n_seg - 1 for i in range(n_seg)])
 
         def body(carry, inputs):
             p, o, x = carry
-            tc, tn, afs_flag, tea_i = inputs
+            tc, tn, afs_flag, tea_i, is_last = inputs
             (loss, stu), grads = jax.value_and_grad(seg_loss, has_aux=True)(
-                p, x, tc, tn, afs_flag, tea_i)
+                p, x, tc, tn, afs_flag, tea_i, is_last)
             grads = jax.tree.map(
                 lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads)
             updates, o_new = optimizer.update(grads, o, p)
@@ -135,7 +145,8 @@ def make_train_step(precond, cfg: SFDConfig, optimizer: optax.GradientTransforma
             return (p, o, jax.lax.stop_gradient(stu)), loss
 
         (params, opt_state, _), losses = jax.lax.scan(
-            body, (params, opt_state, x0), (t_cur, t_next, afs_flags, tea))
+            body, (params, opt_state, x0),
+            (t_cur, t_next, afs_flags, tea, is_last_flags))
         return params, opt_state, {"loss_per_step": losses, "loss": losses.mean()}
 
     return train_step

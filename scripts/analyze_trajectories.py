@@ -1,0 +1,89 @@
+"""Trajectory-geometry analysis runner: the script equivalent of the
+diff-analyzer notebooks (`main_mp.ipynb` / `main_extend.ipynb`).
+
+Runs a solver with trajectory capture against (a) a pre-trained/random model
+and (b) the dataset-posterior 'optimal' denoiser, then dumps geometry
+statistics (magnitude, deviation, cosines, curvature/torsion,
+deviation-to-optima) as JSON and a plot grid.
+
+  python scripts/analyze_trajectories.py --dataset_name=cifar10 \\
+      --model_path=random --solver=ipndm --num_steps=21 --batch=16
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import click
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@click.command()
+@click.option("--dataset_name", type=str, default="cifar10")
+@click.option("--model_path", type=str, default="random")
+@click.option("--solver", type=str, default="ipndm")
+@click.option("--num_steps", type=int, default=21)
+@click.option("--batch", type=int, default=16)
+@click.option("--data", "data_path", type=str, default=None,
+              help="Image dir/zip for the optimal-denoiser comparison")
+@click.option("--outdir", type=str, default="analysis_out")
+def main(dataset_name, model_path, solver, num_steps, batch, data_path, outdir):
+    from diff_sampler_tpu import analysis
+    from diff_sampler_tpu.models.factory import create_model
+    from diff_sampler_tpu.models.precond import bind
+    from diff_sampler_tpu.ops import get_schedule
+    from diff_sampler_tpu.solvers import get_sampler
+    from diff_sampler_tpu.utils.rng import stacked_randn
+
+    module, params, _src = create_model(dataset_name, model_path)
+    den = bind(module, params)
+    t_steps = get_schedule(num_steps, den.sigma_min, den.sigma_max)
+    lat = stacked_randn(jnp.arange(batch),
+                        (module.img_resolution, module.img_resolution,
+                         module.img_channels))
+    out = jax.jit(lambda l: get_sampler(solver)(den, l, t_steps,
+                                                return_inters=True))(lat)
+
+    ref_xs = None
+    if data_path:
+        from diff_sampler_tpu.eval.dataset import ImageFolderDataset
+
+        ds = ImageFolderDataset(data_path, resolution=module.img_resolution)
+        imgs = np.stack([ds[i][0] for i in range(min(len(ds), 5000))])
+        opt_den = analysis.optimal_denoiser_from_images(imgs)
+        ref_xs = jax.jit(lambda l: get_sampler(solver)(
+            opt_den, l, t_steps, return_inters=True).xs)(lat)
+
+    report = analysis.trajectory_report(out.xs, out.eps, t_steps, ref_xs)
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "report.json"), "w") as f:
+        json.dump({k: v.tolist() for k, v in report.items()}, f, indent=2)
+    print(f"Wrote {outdir}/report.json")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        keys = list(report)
+        fig, axes = plt.subplots(2, (len(keys) + 1) // 2,
+                                 figsize=(4 * ((len(keys) + 1) // 2), 7))
+        for ax, k in zip(axes.ravel(), keys):
+            ax.plot(report[k])
+            ax.set_title(k)
+            ax.set_xlabel("step")
+        fig.tight_layout()
+        fig.savefig(os.path.join(outdir, "geometry.png"), dpi=110)
+        print(f"Wrote {outdir}/geometry.png")
+    except Exception as e:  # pragma: no cover
+        print(f"(plotting skipped: {e})")
+
+
+if __name__ == "__main__":
+    main()
