@@ -70,7 +70,23 @@ def main(dataset_name, model_path, max_batch_size, seeds, grid, outdir, subdirs,
         dataset_name, model_path, guidance_type, guidance_rate,
         dtype=jnp.bfloat16 if bf16 else jnp.float32)
     cond = {}
-    if model_source in ("ldm", "sd") and prompt is not None:
+    per_seed_cond = None
+    if model_source == "sd" and prompt is None:
+        # MS-COCO caption per seed (sample.py:171-180,276-291)
+        from .clip_score import load_captions
+
+        ld = module.latent_diffusion
+        captions = load_captions()
+        texts = [captions[int(s) % len(captions)] for s in seeds]
+        import numpy as _np
+
+        per_seed_cond = _np.concatenate(
+            [_np.asarray(ld.get_learned_conditioning(texts[i:i + 64]))
+             for i in range(0, len(texts), 64)])
+        if guidance_rate not in (None, 1.0):
+            cond["unconditional_condition"] = jnp.asarray(
+                ld.get_learned_conditioning([""]))
+    elif model_source in ("ldm", "sd") and prompt is not None:
         ld = module.latent_diffusion
         c = ld.get_learned_conditioning([prompt])
         cond["condition"] = jnp.asarray(c)
@@ -92,7 +108,15 @@ def main(dataset_name, model_path, max_batch_size, seeds, grid, outdir, subdirs,
     shape = (module.img_resolution, module.img_resolution, module.img_channels)
     mesh = get_mesh()
     cond_kw = {}
-    if getattr(module, "label_dim", 0):
+    if per_seed_cond is not None:
+        uc = cond.get("unconditional_condition")
+        cond_kw = dict(
+            per_seed_cond=per_seed_cond,
+            denoise_with_labels=lambda x, t, c: module(
+                x, t, condition=c,
+                unconditional_condition=(
+                    jnp.broadcast_to(uc, c.shape) if uc is not None else None)))
+    elif getattr(module, "label_dim", 0):
         # per-seed random class labels (sample.py:276-281); int labels for
         # the classifier-guided ADM path, one-hot for EDM.
         import flax.linen as fnn

@@ -44,6 +44,11 @@ from ..utils.rng import stacked_randn
 @click.option("--lower_order_final", type=bool, default=True)
 @click.option("--batch", type=click.IntRange(min=1), default=128)
 @click.option("--lr", type=float, default=5e-5)
+@click.option("--remat", type=bool, default=True,
+              help="Block-granular rematerialization (fits batch>=64 on 16GB)")
+@click.option("--resume", type=str, default=None,
+              help="Snapshot .npz to resume params+optimizer state from "
+                   "(true resume; the reference's is commented out)")
 @click.option("--desc", type=str, default=None)
 @click.option("--tick", type=click.IntRange(min=1), default=10)
 @click.option("--snap", type=click.IntRange(min=1), default=10)
@@ -51,8 +56,8 @@ from ..utils.rng import stacked_randn
 @click.option("-n", "--dry-run", is_flag=True)
 def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
          model_path, num_steps, sampler_tea, M, schedule_type, schedule_rho,
-         afs, max_order, predict_x0, lower_order_final, batch, lr, desc, tick,
-         snap, seed, dry_run):
+         afs, max_order, predict_x0, lower_order_final, batch, lr, remat,
+         resume, desc, tick, snap, seed, dry_run):
     import jax
     import jax.numpy as jnp
     import optax
@@ -81,10 +86,8 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
     print0(f"Run dir: {run_dir}")
 
     # Student net (trainable) + frozen teacher copy (training_loop.py:187).
-    module, params, _src = create_model(
-        dataset_name, model_path,
-        dtype=jnp.float32) if not use_step_condition else (
-        _create_step_cond(dataset_name, model_path))
+    module, params, _src = _create_student(dataset_name, model_path,
+                                           use_step_condition, remat)
     teacher_params = jax.tree.map(lambda a: a.copy(), params)
 
     # lr drops 10x at half training (training_loop.py:297-301).
@@ -93,14 +96,39 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
                                      optax.constant_schedule(lr / 10.0)], [half])
     optimizer = optax.adam(schedule)
     opt_state = optimizer.init(params)
+    start_nimg = 0
+    if resume:
+        loaded = ckpt.load_params(resume)
+        params = jax.tree.map(jnp.asarray, loaded["params"])
+        if "opt_state" in loaded:
+            leaves = [jnp.asarray(loaded["opt_state"][k])
+                      for k in sorted(loaded["opt_state"])]
+            opt_state = jax.tree.util.tree_unflatten(
+                jax.tree.util.tree_structure(opt_state), leaves)
+        start_nimg = int(loaded.get("meta", {}).get("cur_nimg", [0])[0]) \
+            if "meta" in loaded else 0
+        print0(f"Resumed from {resume} at {start_nimg / 1e3:.1f} kimg")
 
     mesh = get_mesh()
     rep = replicated(mesh)
     shard = data_sharding(mesh, 4)
-    train_step = jax.jit(make_train_step(module, cfg, optimizer),
-                         in_shardings=(rep, rep, rep, shard),
-                         out_shardings=(rep, rep, rep),
-                         donate_argnums=(0, 1))
+
+    def build_step(c):
+        return jax.jit(make_train_step(module, c, optimizer),
+                       in_shardings=(rep, rep, rep, shard),
+                       out_shardings=(rep, rep, rep))
+
+    if use_step_condition and not is_second_stage:
+        # SFD-v: randomize num_steps in [4,7] per trajectory
+        # (training_loop.py:239-244); one jitted program per step count.
+        step_variants = {
+            n: build_step(dataclasses.replace(
+                cfg, num_steps=n, M=2 if n == 3 else 3))
+            for n in range(4, 8)}
+        rng_steps = np.random.RandomState(seed)
+        train_step = lambda *a: step_variants[int(rng_steps.randint(4, 8))](*a)
+    else:
+        train_step = build_step(cfg)
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(opt_state, rep)
     teacher_params = jax.device_put(teacher_params, rep)
@@ -109,7 +137,7 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
     collector = training_stats.default_collector
     jsonl = training_stats.JsonlWriter(os.path.join(run_dir, "stats.jsonl"))
     timer = Timer()
-    cur_nimg, it = 0, 0
+    cur_nimg, it = start_nimg, start_nimg // batch
     print0(f"Training for {total_kimg} kimg (batch {batch})...")
     while cur_nimg < total_kimg * 1000:
         latents = stacked_randn(np.arange(it * batch, (it + 1) * batch) + seed,
@@ -131,22 +159,28 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
             collector.reset()
         if it % (tick * snap) == 0 or cur_nimg >= total_kimg * 1000:
             path = os.path.join(run_dir, f"snapshot-{cur_nimg//1000:06d}.npz")
-            ckpt.save_params(path, jax.device_get(params))
+            # zero-padded keys keep leaf order stable under string sort
+            flat_opt = {f"{i:06d}": np.asarray(x) for i, x in
+                        enumerate(jax.tree.leaves(jax.device_get(opt_state)))}
+            ckpt.save_params(path, jax.device_get(params),
+                             opt_state=flat_opt,
+                             meta={"cur_nimg": np.asarray([cur_nimg])})
             print0(f"Saved {path}")
     print0("Done.")
     logger.close()
 
 
-def _create_step_cond(dataset_name, model_path):
-    """SFD-v: rebuild the arch WITH step-condition modules then load the EMA
-    weights non-strictly (training_loop.py:46-110 create_model)."""
+def _create_student(dataset_name, model_path, use_step_condition, remat):
+    """Rebuild the arch (optionally WITH step-condition modules, SFD-v) then
+    load the EMA weights non-strictly (training_loop.py:46-110 create_model).
+    remat enables block-granular rematerialization for training memory."""
     import jax
     import jax.numpy as jnp
 
     from ..models.factory import build_edm_model, init_params
 
-    module = build_edm_model(dataset_name, use_step_condition=True,
-                             sigma_min=0.006)
+    module = build_edm_model(dataset_name, use_step_condition=use_step_condition,
+                             sigma_min=0.006, remat=remat)
     params = init_params(module)
     if model_path not in (None, "random"):
         from ..models.zoo import load_checkpoint_params

@@ -47,12 +47,16 @@ EDM_ARCHS["afhqv2"] = EDM_ARCHS["ffhq"]
 
 def build_edm_model(dataset_name: str, *, use_step_condition: bool = False,
                     dtype=jnp.float32, sigma_min: Optional[float] = None,
-                    sigma_max: float = 80.0) -> EDMPrecond:
-    """Construct the (uninitialized) EDMPrecond module for a dataset."""
+                    sigma_max: float = 80.0, remat: bool = False) -> EDMPrecond:
+    """Construct the (uninitialized) EDMPrecond module for a dataset.
+
+    remat=True enables block-granular rematerialization (training memory)."""
     interface, kwargs = EDM_ARCHS[dataset_name]
     kwargs = dict(kwargs)
     if use_step_condition:
         kwargs["use_step_condition"] = True
+    if remat:
+        kwargs["remat"] = True
     # sfd training_loop.py:83-84 narrows sigma_min to 0.006 for EDM models at
     # distillation time; sampling uses the checkpoint's native 0.002.
     return EDMPrecond(sigma_min=sigma_min if sigma_min is not None else 0.002,

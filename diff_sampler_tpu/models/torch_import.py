@@ -119,6 +119,46 @@ def _bf16_to_f32(raw: bytes) -> np.ndarray:
     return (u16.astype(np.uint32) << 16).view(np.float32)
 
 
+class _DictStub(dict):
+    """OrderedDict stand-in that absorbs instance state (e.g. torch's
+    state_dict._metadata) set via pickle BUILD."""
+
+    def __setstate__(self, state):
+        pass
+
+
+class _ObjStub:
+    """Inert reconstruction target for arbitrary pickled classes.
+
+    Instances may be built via __init__ (REDUCE) or bare __new__ + BUILD
+    (NEWOBJ), so attribute defaults live on the class."""
+
+    _qualname = "?"
+    args = ()
+    kwargs: dict = {}
+    state: dict = {}
+
+    def __init__(self, *args, **kwargs):
+        self.args = args
+        self.kwargs = kwargs
+
+    def __setstate__(self, state):
+        self.state = state if isinstance(state, dict) else {"__state__": state}
+
+    # some reducers use __dict__.update via BUILD with a dict -> handled by
+    # __setstate__; slots-state tuples land in __state__.
+
+
+_STUB_CACHE = {}
+
+
+def _make_stub(module: str, name: str):
+    key = f"{module}.{name}"
+    if key not in _STUB_CACHE:
+        _STUB_CACHE[key] = type(name, (_ObjStub,), {"_qualname": key})
+    return _STUB_CACHE[key]
+
+
 class _SafeUnpickler(pickle.Unpickler):
     """Reconstructs tensors + plain containers from a torch zip checkpoint.
 
@@ -150,18 +190,22 @@ class _SafeUnpickler(pickle.Unpickler):
 
     def find_class(self, module, name):
         if module == "collections" and name == "OrderedDict":
-            return dict
+            return _DictStub
         if (module, name) == ("torch._utils", "_rebuild_tensor_v2"):
             def rebuild(storage, offset, size, stride, *_a, **_k):
                 return _TensorStub(storage, offset, size, stride)
             return rebuild
+        if (module, name) == ("torch._utils", "_rebuild_parameter"):
+            def rebuild_param(tensor, *_a, **_k):
+                return tensor
+            return rebuild_param
         if module.startswith("torch") and "Storage" in name:
             return type(name, (), {"__name__": name})
-        # Inert stub for any other class (persistence-wrapped modules, EasyDict...)
-        def stub(*a, **k):
-            return {"__stub__": f"{module}.{name}", "args": a, "kwargs": k}
-        stub.__name__ = name
-        return stub
+        # Inert stub CLASS for anything else (persistence-wrapped modules,
+        # nn.Module subclasses, EasyDict, ...): reconstructible by pickle
+        # (accepts any args, absorbs setstate into .state) but carries no
+        # behavior -- embedded source never executes.
+        return _make_stub(module, name)
 
 
 def load_torch_file(path: str) -> Any:
@@ -185,14 +229,49 @@ def _materialize(obj):
     if isinstance(obj, (list, tuple)):
         t = type(obj)
         return t(_materialize(v) for v in obj)
+    if isinstance(obj, _ObjStub):
+        obj.args = _materialize(obj.args)
+        obj.kwargs = _materialize(obj.kwargs)
+        obj.state = _materialize(obj.state)
+        return obj
     return obj
 
 
+def _walk_module_stub(stub, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    """Collect _parameters/_buffers from a pickled torch.nn.Module object
+    tree (modules pickle their __dict__: _parameters, _buffers, _modules)."""
+    state = stub.state if isinstance(stub, _ObjStub) else stub
+    if not isinstance(state, dict):
+        return
+    for group in ("_parameters", "_buffers"):
+        for name, val in (state.get(group) or {}).items():
+            if isinstance(val, np.ndarray):
+                out[f"{prefix}{name}" if not prefix else f"{prefix}.{name}"] = val
+    for name, sub in (state.get("_modules") or {}).items():
+        sub_prefix = f"{prefix}.{name}" if prefix else str(name)
+        _walk_module_stub(sub, sub_prefix, out)
+
+
 def torch_state_dict(obj) -> Dict[str, np.ndarray]:
-    """Extract a flat {name: array} mapping from a loaded checkpoint object
-    (handles {'ema': module_stub} EDM pickles and raw state_dicts)."""
-    if isinstance(obj, dict) and all(isinstance(v, np.ndarray) for v in obj.values()):
+    """Extract a flat {name: array} mapping from a loaded checkpoint object.
+
+    Handles: raw state_dicts, {'ema'/'model'/'net'/'state_dict': ...}
+    containers, and pickled MODULE OBJECTS (EDM's persistence-wrapped
+    snapshots, `diff-solvers-main/sample.py:82`) by walking the module tree's
+    _parameters/_buffers."""
+    if isinstance(obj, dict) and obj and all(
+            isinstance(v, np.ndarray) for v in obj.values()):
         return obj
+    if isinstance(obj, _ObjStub):
+        # persistence-wrapped object: the real payload may live in
+        # state['state'] (persistence meta dict) or directly in state.
+        inner = obj.state.get("state") if isinstance(obj.state, dict) else None
+        target = inner if isinstance(inner, (dict, _ObjStub)) else obj
+        out: Dict[str, np.ndarray] = {}
+        _walk_module_stub(target, "", out)
+        if out:
+            return out
+        raise ValueError(f"no tensors found in pickled object {obj._qualname}")
     if isinstance(obj, dict):
         for key in ("ema", "state_dict", "model", "net"):
             if key in obj:

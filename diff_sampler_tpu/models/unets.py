@@ -51,7 +51,7 @@ class UNetBlock(nn.Module):
     use_step_condition: bool = False
 
     @nn.compact
-    def __call__(self, x, emb, emb_step=None, *, deterministic: bool = True):
+    def __call__(self, x, emb, emb_step=None, deterministic: bool = True):
         heads = (
             0 if not self.attention
             else self.num_heads if self.num_heads is not None
@@ -197,11 +197,14 @@ class SongUNet(nn.Module):
     decoder_type: str = "standard"
     resample_filter: Sequence[int] = (1, 1)
     use_step_condition: bool = False
+    remat: bool = False  # block-granular rematerialization for training memory
 
     @nn.compact
     def __call__(self, x, noise_labels, class_labels=None, augment_labels=None,
                  *, step_condition=None, skip_tuning: bool = False,
                  deterministic: bool = True):
+        block_cls = (nn.remat(UNetBlock, static_argnums=(4,))
+                     if self.remat else UNetBlock)
         emb_channels = self.model_channels * self.channel_mult_emb
         noise_channels = self.model_channels * self.channel_mult_noise
         init = dict(init_mode="xavier_uniform")
@@ -274,9 +277,9 @@ class SongUNet(nn.Module):
                 aux = x
                 skips[-1] = x
             else:
-                x = UNetBlock(kw["cin"], kw["cout"], up=False, down=kw["down"],
+                x = block_cls(kw["cin"], kw["cout"], up=False, down=kw["down"],
                               attention=kw["attn"], name=name, **block_kwargs)(
-                    x, emb, emb_step, deterministic=deterministic)
+                    x, emb, emb_step, deterministic)
                 skips.append(x)
 
         # Decoder.
@@ -302,10 +305,9 @@ class SongUNet(nn.Module):
                         s = coeff * s
                         count += 1
                     x = jnp.concatenate([x, s], axis=-1)
-                x = UNetBlock(kw["cin"], kw["cout"], up=kind == "block" and kw["up"],
+                x = block_cls(kw["cin"], kw["cout"], up=kind == "block" and kw["up"],
                               down=False, attention=kw["attn"], name=name,
-                              **block_kwargs)(x, emb, emb_step,
-                                              deterministic=deterministic)
+                              **block_kwargs)(x, emb, emb_step, deterministic)
         return aux
 
 
@@ -325,11 +327,14 @@ class DhariwalUNet(nn.Module):
     dropout: float = 0.10
     label_dropout: float = 0.0
     use_step_condition: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, noise_labels, class_labels=None, augment_labels=None,
                  *, step_condition=None, skip_tuning: bool = False,
                  deterministic: bool = True):
+        block_cls = (nn.remat(UNetBlock, static_argnums=(4,))
+                     if self.remat else UNetBlock)
         emb_channels = self.model_channels * self.channel_mult_emb
         init = dict(init_mode="kaiming_uniform", init_weight=float(np.sqrt(1 / 3)),
                     init_bias=float(np.sqrt(1 / 3)))
@@ -409,9 +414,9 @@ class DhariwalUNet(nn.Module):
             if kind == "conv":
                 x = Conv2d(kw["cin"], kw["cout"], kernel=3, name=name, **init)(x)
             else:
-                x = UNetBlock(kw["cin"], kw["cout"], up=kw["up"], down=kw["down"],
+                x = block_cls(kw["cin"], kw["cout"], up=kw["up"], down=kw["down"],
                               attention=kw["attn"], name=name, **block_kwargs)(
-                    x, emb, emb_step, deterministic=deterministic)
+                    x, emb, emb_step, deterministic)
             skips.append(x)
 
         n_skips = len(skips)
@@ -424,9 +429,9 @@ class DhariwalUNet(nn.Module):
                     s = coeff * s
                     count += 1
                 x = jnp.concatenate([x, s], axis=-1)
-            x = UNetBlock(kw["cin"], kw["cout"], up=kw["up"], down=kw["down"],
+            x = block_cls(kw["cin"], kw["cout"], up=kw["up"], down=kw["down"],
                           attention=kw["attn"], name=name, **block_kwargs)(
-                x, emb, emb_step, deterministic=deterministic)
+                x, emb, emb_step, deterministic)
         x = GroupNorm(cout, name="out_norm")(x)
         x = Conv2d(cout, self.out_channels, kernel=3, name="out_conv", **init_zero)(silu(x))
         return x

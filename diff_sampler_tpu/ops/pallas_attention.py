@@ -142,7 +142,7 @@ def _bwd(scale, interpret, res, g):
 flash_attention.defvjp(_fwd, _bwd)
 
 
-def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 1024,
+def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
          force_flash: bool = False):
     """Scaled-dot-product attention dispatcher.
 

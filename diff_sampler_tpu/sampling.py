@@ -87,7 +87,8 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
              cfg: SolverConfig, *, mesh=None, max_batch_size: int = 64,
              sigma_fn=None, sigma_inv_fn=None, dtype=jnp.float32,
              label_dim: int = 0, label_kind: str = "onehot",
-             denoise_with_labels=None, class_idx=None) -> np.ndarray:
+             denoise_with_labels=None, class_idx=None,
+             per_seed_cond: Optional[np.ndarray] = None) -> np.ndarray:
     """Generate len(seeds) samples, data-parallel over the mesh.
 
     sample_shape: per-sample shape, e.g. (32, 32, 3) NHWC.
@@ -106,9 +107,20 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
     seeds = np.asarray(list(seeds), dtype=np.int64)
     n = len(seeds)
 
-    conditional = label_dim > 0 and denoise_with_labels is not None
+    # Resolve the schedule on host ONCE (discrete schedules call the model's
+    # sigma maps, which must not run under a jit trace).
+    t_resolved = cfg.resolve_t_steps(denoise.sigma_min, denoise.sigma_max,
+                                     sigma_fn=sigma_fn, sigma_inv_fn=sigma_inv_fn)
+    cfg = dataclasses.replace(cfg, t_steps=tuple(float(v) for v in t_resolved),
+                              dp_list=None)
+
+    conditional = denoise_with_labels is not None and (
+        label_dim > 0 or per_seed_cond is not None)
     sharding = pm.data_sharding(mesh, 1 + len(sample_shape))
-    lab_sharding = pm.data_sharding(mesh, 2 if label_kind == "onehot" else 1)
+    if per_seed_cond is not None:
+        lab_sharding = pm.data_sharding(mesh, per_seed_cond.ndim)
+    else:
+        lab_sharding = pm.data_sharding(mesh, 2 if label_kind == "onehot" else 1)
 
     if conditional:
         def jbody(lat, labels):
@@ -135,14 +147,22 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
         latents = stacked_randn(jnp.asarray(chunk_p), sample_shape, dtype)
         latents = jax.device_put(latents, sharding)
         if conditional:
-            if class_idx is not None:
+            if per_seed_cond is not None:
+                # conditioning indexed by position in the seed list
+                # (e.g. caption embeddings; sample.py:276-291)
+                pos = np.arange(start, start + len(chunk))
+                pos = np.concatenate([pos, pos[-1:].repeat(pad)]) if pad else pos
+                labels = jnp.asarray(per_seed_cond[pos])
+            elif class_idx is not None:
                 idx = jnp.full((len(chunk_p),), class_idx, jnp.int32)
+                labels = (jax.nn.one_hot(idx, label_dim)
+                          if label_kind == "onehot" else idx)
             else:
                 from .utils.rng import stacked_randint
 
                 idx = stacked_randint(jnp.asarray(chunk_p), (), 0, label_dim)
-            labels = (jax.nn.one_hot(idx, label_dim)
-                      if label_kind == "onehot" else idx)
+                labels = (jax.nn.one_hot(idx, label_dim)
+                          if label_kind == "onehot" else idx)
             labels = jax.device_put(labels, lab_sharding)
             x = np.asarray(jfn(latents, labels), dtype=np.float32)
         else:

@@ -55,6 +55,9 @@ class SFDConfig:
     is_second_stage: bool = False
     sigma_min: float = 0.002
     sigma_max: float = 80.0
+    # Training memory: pass remat=True in the model_kwargs (SongUNet /
+    # DhariwalUNet block-granular nn.remat) -- the TPU analogue of the
+    # reference's fp16 + small-batch memory management (SURVEY.md 7 #3).
 
 
 def teacher_slice_indices(num_steps: int, M: int) -> list:
