@@ -1,16 +1,30 @@
 """Sampling CLI: the TPU-native `sample.py`.
 
 Mirrors the reference flag groups (SOLVER_FLAGS / SCHEDULE_FLAGS /
-ADDITIONAL_FLAGS / GUIDANCE_FLAGS, `diff-solvers-main/sample.py:125-162`) so
-launch.sh commands translate 1:1:
+ADDITIONAL_FLAGS / GUIDANCE_FLAGS / GITS_FLAGS,
+`diff-solvers-main/sample.py:125-162`, `gits-main/sample.py:159-166`) plus
+the AMED and SFD sampling entry points:
 
+  # plain solvers
   python -m diff_sampler_tpu.cli.sample --dataset_name=cifar10 \\
       --solver=ipndm --num_steps=6 --seeds=0-63 --grid=True --outdir=out/
+
+  # GITS: DP schedule search before sampling (gits sample.py --dp=True)
+  ... --dp=True --num_steps_tea=61 --num_warmup=256 --metric=dev --coeff=1.15
+
+  # AMED: trained predictor restores ALL sampling settings from its config
+  # sidecar (amed sample.py:149-185)
+  ... --predictor=exps/00000-cifar10-... (run dir, predictor.npz, or exp number)
+
+  # SFD: sample a distilled snapshot; settings restore from
+  # training_options.json (sfd sample.py:112-135)
+  ... --model_path=exps/00000-cifar10-3step-dpmpp1 [--skip_tuning=True]
 """
 
 from __future__ import annotations
 
 import ast
+import json
 import os
 
 import click
@@ -23,11 +37,41 @@ from ..sampling import SolverConfig, generate, to_uint8
 from ..utils.image import parse_int_list, save_grid, save_images
 
 
+def _resolve_snapshot(path_or_exp, outdir_base="./exps"):
+    """Run dir / snapshot.npz / experiment number -> (npz_path, config_dict)."""
+    from ..utils import checkpoint as ckpt
+
+    path = str(path_or_exp)
+    if path.isdigit():
+        run_dir = ckpt.find_run_dir(outdir_base, int(path))
+        if run_dir is None:
+            raise click.ClickException(f"no experiment #{path} in {outdir_base}")
+        path = run_dir
+    if os.path.isdir(path):
+        snaps = sorted(f for f in os.listdir(path) if f.startswith("snapshot-")
+                       and f.endswith(".npz"))
+        npz = os.path.join(path, snaps[-1]) if snaps else os.path.join(
+            path, "predictor.npz")
+        cfg = {}
+        for name in ("training_options.json", "predictor_config.json"):
+            p = os.path.join(path, name)
+            if os.path.isfile(p):
+                cfg = json.load(open(p))
+                break
+        return npz, cfg
+    cfg_path = os.path.join(os.path.dirname(path), "training_options.json")
+    cfg = json.load(open(cfg_path)) if os.path.isfile(cfg_path) else {}
+    return path, cfg
+
+
 @click.command()
 # General options
 @click.option("--dataset_name", type=str, required=True)
 @click.option("--model_path", type=str, default=None,
-              help="Checkpoint path ('random' for fresh init)")
+              help="Checkpoint (.pkl/.pt/.ckpt), framework snapshot (.npz), "
+                   "run dir, experiment number, or 'random'")
+@click.option("--predictor", type=str, default=None,
+              help="AMED predictor: run dir, predictor.npz, or exp number")
 @click.option("--batch", "max_batch_size", type=int, default=64)
 @click.option("--seeds", type=str, default="0-63")
 @click.option("--grid", type=bool, default=False)
@@ -36,7 +80,8 @@ from ..utils.image import parse_int_list, save_grid, save_images
 @click.option("--bf16", type=bool, default=False, help="bfloat16 inner compute")
 # SOLVER_FLAGS
 @click.option("--solver", type=click.Choice(["euler", "heun", "dpm", "ipndm",
-                                             "ipndm_v", "dpmpp", "unipc", "deis"]),
+                                             "ipndm_v", "dpmpp", "unipc", "deis",
+                                             "amed"]),
               default="ipndm")
 @click.option("--num_steps", type=int, default=6)
 @click.option("--afs", type=bool, default=False)
@@ -55,20 +100,61 @@ from ..utils.image import parse_int_list, save_grid, save_images
 @click.option("--variant", type=click.Choice(["bh1", "bh2"]), default="bh2")
 @click.option("--deis_mode", type=click.Choice(["tab", "rhoab"]), default="tab")
 @click.option("--r", type=float, default=0.5)
+@click.option("--skip_tuning", type=bool, default=False,
+              help="SFD inference-time skip rescale (sfd networks_edm.py:377)")
 # GUIDANCE_FLAGS
 @click.option("--guidance_type", type=str, default=None)
 @click.option("--guidance_rate", type=float, default=1.0)
 @click.option("--prompt", type=str, default=None)
-def main(dataset_name, model_path, max_batch_size, seeds, grid, outdir, subdirs,
-         bf16, solver, num_steps, afs, denoise_to_zero, schedule_type,
-         schedule_rho, t_steps, max_order, predict_x0, lower_order_final,
-         variant, deis_mode, r, guidance_type, guidance_rate, prompt):
+# GITS_FLAGS (gits-main/sample.py:159-166)
+@click.option("--dp", type=bool, default=False, help="Run GITS schedule search")
+@click.option("--metric", type=click.Choice(["l1", "l2", "dev"]), default="dev")
+@click.option("--coeff", type=float, default=1.15)
+@click.option("--num_warmup", type=int, default=256)
+@click.option("--num_steps_tea", type=int, default=61)
+@click.option("--solver_tea", type=str, default="ipndm")
+def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
+         outdir, subdirs, bf16, solver, num_steps, afs, denoise_to_zero,
+         schedule_type, schedule_rho, t_steps, max_order, predict_x0,
+         lower_order_final, variant, deis_mode, r, skip_tuning, guidance_type,
+         guidance_rate, prompt, dp, metric, coeff, num_warmup, num_steps_tea,
+         solver_tea):
+    import jax
     import jax.numpy as jnp
 
     seeds = parse_int_list(seeds)
-    module, params, model_source = create_model(
-        dataset_name, model_path, guidance_type, guidance_rate,
-        dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+    # -- model resolution: torch ckpt / framework snapshot / run dir ------
+    restored = {}
+    if model_path is not None and (model_path.endswith(".npz")
+                                   or os.path.isdir(model_path)
+                                   or model_path.isdigit()):
+        from ..models.factory import build_edm_model
+        from ..utils import checkpoint as ckpt
+
+        npz, restored = _resolve_snapshot(model_path)
+        module = build_edm_model(
+            dataset_name,
+            use_step_condition=restored.get("use_step_condition", False),
+            dtype=dtype)
+        params = ckpt.load_params(npz)["params"]
+        model_source = "edm"
+        # SFD restore: sampling settings come from the training config
+        # (sfd sample.py:112-135); --num_steps only honored for SFD-v.
+        if restored:
+            if not restored.get("use_step_condition", False):
+                num_steps = restored.get("num_steps", num_steps)
+            solver = "euler"
+            schedule_type = restored.get("schedule_type", schedule_type)
+            schedule_rho = restored.get("schedule_rho", schedule_rho)
+            afs = restored.get("afs", afs)
+            print0(f"Restored SFD sampling settings: num_steps={num_steps} "
+                   f"schedule={schedule_type}({schedule_rho}) afs={afs}")
+    else:
+        module, params, model_source = create_model(
+            dataset_name, model_path, guidance_type, guidance_rate, dtype=dtype)
+
     cond = {}
     per_seed_cond = None
     if model_source == "sd" and prompt is None:
@@ -78,34 +164,54 @@ def main(dataset_name, model_path, max_batch_size, seeds, grid, outdir, subdirs,
         ld = module.latent_diffusion
         captions = load_captions()
         texts = [captions[int(s) % len(captions)] for s in seeds]
-        import numpy as _np
-
-        per_seed_cond = _np.concatenate(
-            [_np.asarray(ld.get_learned_conditioning(texts[i:i + 64]))
+        per_seed_cond = np.concatenate(
+            [np.asarray(ld.get_learned_conditioning(texts[i:i + 64]))
              for i in range(0, len(texts), 64)])
         if guidance_rate not in (None, 1.0):
             cond["unconditional_condition"] = jnp.asarray(
                 ld.get_learned_conditioning([""]))
     elif model_source in ("ldm", "sd") and prompt is not None:
         ld = module.latent_diffusion
-        c = ld.get_learned_conditioning([prompt])
-        cond["condition"] = jnp.asarray(c)
+        cond["condition"] = jnp.asarray(ld.get_learned_conditioning([prompt]))
         if guidance_rate not in (None, 1.0):
             cond["unconditional_condition"] = jnp.asarray(
                 ld.get_learned_conditioning([""]))
+    if skip_tuning:
+        cond["skip_tuning"] = True
     den = bind(module, params, **cond)
+    shape = (module.img_resolution, module.img_resolution, module.img_channels)
+
+    # -- AMED path: predictor restores its sampling settings --------------
+    if predictor is not None:
+        _amed_sample(module, params, den, predictor, seeds, shape,
+                     max_batch_size, outdir, grid, subdirs, dataset_name)
+        return
 
     explicit_t = tuple(ast.literal_eval(t_steps)) if t_steps else None
+    dp_list = None
+    if dp:
+        from ..gits.search import GITSConfig, gits_schedule
+
+        gcfg = GITSConfig(num_steps=num_steps, num_steps_tea=num_steps_tea,
+                          num_warmup=num_warmup, solver_tea=solver_tea,
+                          solver=solver, metric=metric, coeff=coeff,
+                          schedule_type=schedule_type, schedule_rho=schedule_rho,
+                          afs=afs, batch_size=max_batch_size)
+        dp_list, dp_sigmas = gits_schedule(den, shape, gcfg)
+        print0(f"GITS dp_list: {dp_list}")
+        print0(f"GITS schedule: {np.round(dp_sigmas, 4).tolist()}")
+        num_steps = num_steps_tea
+
     cfg = SolverConfig(solver=solver, num_steps=num_steps,
                        schedule_type=schedule_type, schedule_rho=schedule_rho,
                        afs=afs, denoise_to_zero=denoise_to_zero,
                        max_order=max_order, predict_x0=predict_x0,
                        lower_order_final=lower_order_final, variant=variant,
-                       deis_mode=deis_mode, r=r, t_steps=explicit_t)
-    print0(f"Solver: {solver} | steps: {num_steps} | NFE: {cfg.nfe()} | "
+                       deis_mode=deis_mode, r=r, t_steps=explicit_t,
+                       dp_list=tuple(dp_list) if dp_list else None)
+    print0(f"Solver: {solver} | NFE: {cfg.nfe()} | "
            f"schedule: {schedule_type}(rho={schedule_rho}) | source: {model_source}")
 
-    shape = (module.img_resolution, module.img_resolution, module.img_channels)
     mesh = get_mesh()
     cond_kw = {}
     if per_seed_cond is not None:
@@ -142,17 +248,64 @@ def main(dataset_name, model_path, max_batch_size, seeds, grid, outdir, subdirs,
     images = generate(den, seeds, shape, cfg, mesh=mesh,
                       max_batch_size=max_batch_size, **cond_kw, **sched_kw)
     if model_source in ("ldm", "sd"):
-        import jax
-
-        import numpy as _np
-
         dec = jax.jit(module.latent_diffusion.decode_first_stage)
-        images = _np.concatenate(
-            [_np.asarray(dec(jnp.asarray(images[i:i + 16])), _np.float32)
+        images = np.concatenate(
+            [np.asarray(dec(jnp.asarray(images[i:i + 16])), np.float32)
              for i in range(0, len(images), 16)])
-    images = to_uint8(images)
+    _save(images, seeds, outdir or f"samples/{dataset_name}-{solver}-{num_steps}",
+          grid, subdirs)
 
-    outdir = outdir or f"samples/{dataset_name}-{solver}-{num_steps}"
+
+def _amed_sample(module, params, den, predictor, seeds, shape, max_batch_size,
+                 outdir, grid, subdirs, dataset_name):
+    """AMED sampling: restore every solver setting from the predictor's
+    config sidecar (amed sample.py:149-185)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import get_schedule
+    from ..solvers.amed import (AMED_SOLVER_REGISTRY, AMEDPredictor,
+                                bind_with_bottleneck, bottleneck_module_name)
+    from ..training.amed import AMEDConfig
+    from ..utils import checkpoint as ckpt
+    from ..utils.rng import stacked_randn
+
+    npz, cfg_dict = _resolve_snapshot(predictor)
+    if not npz.endswith("predictor.npz"):
+        cand = os.path.join(os.path.dirname(npz), "predictor.npz")
+        npz = cand if os.path.isfile(cand) else npz
+    cfg = AMEDConfig(**{k: v for k, v in cfg_dict.items()
+                        if k in AMEDConfig.__dataclass_fields__})
+    pred_params = ckpt.load_params(npz)["params"]
+    pred = AMEDPredictor(scale_dir=cfg.scale_dir, scale_time=cfg.scale_time)
+    den_b = bind_with_bottleneck(
+        module, params,
+        bottleneck_module_name(getattr(module, "label_dim", 0),
+                               module.img_resolution))
+    t_steps = get_schedule(cfg.num_steps, cfg.sigma_min, cfg.sigma_max,
+                           cfg.schedule_type, cfg.schedule_rho)
+    sampler = AMED_SOLVER_REGISTRY[cfg.sampler_stu]
+    nfe = 2 * (cfg.num_steps - 1) - (1 if cfg.afs else 0)
+    print0(f"AMED: student={cfg.sampler_stu} steps={cfg.num_steps} NFE={nfe} "
+           f"(restored from predictor config)")
+
+    fn = jax.jit(lambda lat: sampler(
+        den_b, lambda b, tc, tn: pred.apply({"params": pred_params}, b, tc, tn),
+        lat, t_steps, afs=cfg.afs, max_order=cfg.max_order,
+        predict_x0=cfg.predict_x0, lower_order_final=cfg.lower_order_final).x)
+    out = []
+    for s in range(0, len(seeds), max_batch_size):
+        chunk = seeds[s : s + max_batch_size]
+        lat = stacked_randn(jnp.asarray(chunk), shape)
+        out.append(np.asarray(fn(lat), np.float32))
+    images = np.concatenate(out)
+    _save(images, seeds,
+          outdir or f"samples/{dataset_name}-amed-{cfg.sampler_stu}",
+          grid, subdirs)
+
+
+def _save(images, seeds, outdir, grid, subdirs):
+    images = to_uint8(images)
     if grid:
         save_grid(images, os.path.join(outdir, "grid.png"))
         print0(f"Saved grid to {outdir}/grid.png")

@@ -182,11 +182,21 @@ def _create_student(dataset_name, model_path, use_step_condition, remat):
     module = build_edm_model(dataset_name, use_step_condition=use_step_condition,
                              sigma_min=0.006, remat=remat)
     params = init_params(module)
-    if model_path not in (None, "random"):
+    if model_path is not None and model_path.endswith(".npz"):
+        # second-stage distillation: student starts from (and the frozen
+        # teacher copies) a stage-1 framework snapshot
+        # (sfd training_loop.py:47-53)
+        from ..utils import checkpoint as _ckpt
+
+        loaded = _ckpt.load_params(model_path)["params"]
+    elif model_path not in (None, "random"):
         from ..models.zoo import load_checkpoint_params
 
         loaded = load_checkpoint_params(model_path)
+    else:
+        loaded = None
 
+    if loaded is not None:
         def merge(init_tree, loaded_tree):
             out = {}
             for k, v in init_tree.items():

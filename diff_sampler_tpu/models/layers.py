@@ -176,16 +176,13 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.pallas_groupnorm import groupnorm_silu
+
         g = min(self.num_groups, self.num_channels // self.min_channels_per_group)
         scale = self.param("scale", nn.initializers.ones, (self.num_channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.num_channels,))
-        n, h, w, c = x.shape
-        xg = x.reshape(n, h * w, g, c // g).astype(jnp.float32)
-        mean = xg.mean(axis=(1, 3), keepdims=True)
-        var = xg.var(axis=(1, 3), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
-        out = xg.reshape(n, h, w, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return out.astype(x.dtype)
+        return groupnorm_silu(x, scale, bias, groups=g, eps=self.eps,
+                              apply_silu=False)
 
 
 def attention(qkv: jax.Array, num_heads: int) -> jax.Array:

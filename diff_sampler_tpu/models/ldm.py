@@ -184,16 +184,12 @@ class _GN6(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.pallas_groupnorm import groupnorm_silu
+
         scale = self.param("scale", nn.initializers.ones, (self.channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-        g = 32
-        shape = x.shape
-        xg = x.reshape(shape[0], -1, g, self.channels // g).astype(jnp.float32)
-        mean = xg.mean(axis=(1, 3), keepdims=True)
-        var = xg.var(axis=(1, 3), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + 1e-6)
-        out = xg.reshape(shape) * scale + bias
-        return out.astype(x.dtype)
+        return groupnorm_silu(x, scale, bias, groups=32, eps=1e-6,
+                              apply_silu=False)
 
 
 # ---------------------------------------------------------------------------
