@@ -120,14 +120,27 @@ def dp_search(cost_mat: np.ndarray, num_steps: int, num_steps_tea: int,
 
 def dp_search_multi(cost_mat: np.ndarray, num_steps: int, num_steps_tea: int,
                     coeffs: Sequence[float] = (0.8, 0.85, 0.9, 0.95, 1.0, 1.05,
-                                               1.10, 1.15, 1.2)) -> dict:
+                                               1.10, 1.15, 1.2),
+                    dump_path: Optional[str] = None, desc: str = "",
+                    t_steps: Optional[np.ndarray] = None) -> dict:
     """Multi-coefficient DP table (the reference's ms_coco `dp_record.txt`
-    dump, gits_utils.py:214-231): {(coeff, K): phi}."""
+    dump, gits_utils.py:214-231): {(coeff, K): phi}.  With dump_path, appends
+    the schedules to a text file in the reference's format."""
     out = {}
     for coeff in coeffs:
         for K_temp in range(2, num_steps):
             out[(coeff, K_temp)] = dp_search(cost_mat, K_temp + 1,
                                              num_steps_tea, coeff)
+    if dump_path is not None:
+        with open(dump_path, "a") as f:
+            for coeff in coeffs:
+                f.write(f"{desc}-{coeff}\n")
+                for K_temp in range(2, num_steps):
+                    phi = out[(coeff, K_temp)]
+                    if t_steps is not None:
+                        f.write(f"{phi} {[round(float(t_steps[i]), 4) for i in phi]}\n")
+                    else:
+                        f.write(f"{phi}\n")
     return out
 
 
