@@ -1,0 +1,52 @@
+"""CLI helper tests: snapshot resolution, SFD-v step variants, sample CLI
+dry parsing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_resolve_snapshot_run_dir(tmp_path):
+    from diff_sampler_tpu.cli.sample import _resolve_snapshot
+
+    run = tmp_path / "exps" / "00003-cifar10-test"
+    os.makedirs(run)
+    np.savez(run / "snapshot-000001.npz", **{"params/x": np.zeros(2)})
+    np.savez(run / "snapshot-000005.npz", **{"params/x": np.ones(2)})
+    with open(run / "training_options.json", "w") as f:
+        json.dump({"num_steps": 3, "afs": True}, f)
+
+    npz, cfg = _resolve_snapshot(str(run))
+    assert npz.endswith("snapshot-000005.npz")  # latest snapshot
+    assert cfg["num_steps"] == 3 and cfg["afs"] is True
+
+    # by experiment number
+    npz2, cfg2 = _resolve_snapshot("3", outdir_base=str(tmp_path / "exps"))
+    assert npz2 == npz
+
+    # direct npz path picks up the sibling config
+    npz3, cfg3 = _resolve_snapshot(str(run / "snapshot-000001.npz"))
+    assert cfg3["num_steps"] == 3
+
+    with pytest.raises(Exception):
+        _resolve_snapshot("99", outdir_base=str(tmp_path / "exps"))
+
+
+def test_predictor_config_roundtrip(tmp_path):
+    from diff_sampler_tpu.cli.sample import _resolve_snapshot
+    from diff_sampler_tpu.training.amed import AMEDConfig
+    from diff_sampler_tpu.utils import checkpoint as ckpt
+
+    run = str(tmp_path / "00000-amed")
+    os.makedirs(run)
+    cfg = AMEDConfig(num_steps=5, sampler_stu="ipndm", scale_dir=0.02)
+    ckpt.save_config(os.path.join(run, "predictor_config.json"), cfg)
+    np.savez(os.path.join(run, "predictor.npz"), **{"params/w": np.zeros(1)})
+    npz, loaded = _resolve_snapshot(run)
+    restored = AMEDConfig(**{k: v for k, v in loaded.items()
+                             if k in AMEDConfig.__dataclass_fields__})
+    assert restored.num_steps == 5
+    assert restored.sampler_stu == "ipndm"
+    assert restored.scale_dir == 0.02
