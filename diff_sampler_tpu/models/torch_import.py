@@ -208,10 +208,56 @@ class _SafeUnpickler(pickle.Unpickler):
         return _make_stub(module, name)
 
 
+def _parse_legacy_storage_bytes(b: bytes) -> np.ndarray:
+    """Parse the payload of torch.storage._load_from_bytes: a legacy
+    torch.save stream holding ONE storage (magic/protocol/sysinfo pickles,
+    a storage-ref pickle, the key list pickle, then `i64 count` + raw data).
+
+    Plain (non-zip) pickles of torch modules -- e.g. the NVIDIA Inception
+    detector pkl (`diff-solvers-main/fid.py:34`) -- serialize every tensor's
+    storage this way."""
+    f = io.BytesIO(bytes(b))
+    for _ in range(3):  # magic number, protocol version, sys info
+        pickle.load(f)
+
+    info: Dict[str, Any] = {}
+
+    class _StorageRef(pickle.Unpickler):
+        def persistent_load(self, pid):
+            assert pid[0] == "storage", f"unexpected pid {pid!r}"
+            info["type"] = getattr(pid[1], "__name__", str(pid[1]))
+            return None
+
+        def find_class(self, module, name):
+            return type(name, (), {"__name__": name})
+
+    _StorageRef(f).load()
+    keys = pickle.load(f)
+    assert len(keys) == 1, f"expected one storage, got {keys!r}"
+    count = int.from_bytes(f.read(8), "little")
+    raw = f.read()
+
+    name = info.get("type", "")
+    if "BFloat16" in name:
+        arr = _bf16_to_f32(raw[: count * 2])
+    else:
+        dtype = next((v for k, v in _DTYPES.items() if k in name), None)
+        if dtype is None:  # UntypedStorage: count is in bytes
+            dtype, count = np.uint8, min(count, len(raw))
+        arr = np.frombuffer(raw[: count * np.dtype(dtype).itemsize], dtype=dtype)
+    return arr
+
+
 def load_torch_file(path: str) -> Any:
-    """Load a torch .pt/.pth/.pkl zip checkpoint without executing code.
+    """Load a torch checkpoint without executing code: either a torch-zip
+    .pt/.pth/.pkl archive or a PLAIN pickle of a module (the NVIDIA metric
+    pkls, `fid.py:34`).
 
     Returns the unpickled object with tensors as numpy arrays."""
+    if not zipfile.is_zipfile(path):
+        with open(path, "rb") as f:
+            obj = _SafePlainUnpickler(f).load()
+        return _materialize(obj)
     with zipfile.ZipFile(path) as zf:
         names = zf.namelist()
         pkl_name = next(n for n in names if n.endswith("data.pkl"))
@@ -219,6 +265,29 @@ def load_torch_file(path: str) -> Any:
         with zf.open(pkl_name) as f:
             obj = _SafeUnpickler(io.BytesIO(f.read()), zf, root).load()
     return _materialize(obj)
+
+
+class _SafePlainUnpickler(pickle.Unpickler):
+    """Restricted unpickler for PLAIN pickles of torch objects (storages
+    inline via torch.storage._load_from_bytes instead of zip members)."""
+
+    def find_class(self, module, name):
+        if module == "collections" and name == "OrderedDict":
+            return _DictStub
+        if (module, name) == ("torch.storage", "_load_from_bytes"):
+            return _parse_legacy_storage_bytes
+        if (module, name) == ("torch._utils", "_rebuild_tensor_v2"):
+            def rebuild(storage, offset, size, stride, *_a, **_k):
+                return _TensorStub(storage, offset, size, stride)
+            return rebuild
+        if (module, name) == ("torch._utils", "_rebuild_parameter"):
+            return lambda tensor, *_a, **_k: tensor
+        if module == "builtins":
+            return {"set": set, "frozenset": frozenset, "list": list,
+                    "dict": dict, "tuple": tuple}.get(name, _make_stub(module, name))
+        if module.startswith("torch") and "Storage" in name:
+            return type(name, (), {"__name__": name})
+        return _make_stub(module, name)
 
 
 def _materialize(obj):
