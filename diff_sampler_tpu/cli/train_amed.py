@@ -26,8 +26,12 @@ from ..utils.rng import stacked_randn
 
 
 @click.command()
-@click.option("--dataset_name", type=click.Choice(["cifar10", "ffhq", "afhqv2",
-                                                   "imagenet64"]), required=True)
+@click.option("--dataset_name", type=click.Choice([
+    "cifar10", "ffhq", "afhqv2", "imagenet64",        # EDM tier
+    "lsun_bedroom",                                   # CM tier (256px)
+    "imagenet256",                                    # ADM + classifier guidance
+    "lsun_bedroom_ldm", "ffhq_ldm"]), required=True)  # LDM tier
+@click.option("--guidance_rate", type=float, default=1.0)
 @click.option("--outdir", type=str, default="./exps")
 @click.option("--total_kimg", type=click.IntRange(min=1), default=10)
 @click.option("--model_path", type=str, default=None)
@@ -51,10 +55,10 @@ from ..utils.rng import stacked_randn
 @click.option("--tick", type=click.IntRange(min=1), default=1)
 @click.option("--seed", type=int, default=0)
 @click.option("-n", "--dry-run", is_flag=True)
-def main(dataset_name, outdir, total_kimg, model_path, num_steps, sampler_stu,
-         sampler_tea, M, schedule_type, schedule_rho, afs, scale_dir,
-         scale_time, max_order, predict_x0, lower_order_final, batch, lr, desc,
-         tick, seed, dry_run):
+def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
+         num_steps, sampler_stu, sampler_tea, M, schedule_type, schedule_rho,
+         afs, scale_dir, scale_time, max_order, predict_x0, lower_order_final,
+         batch, lr, desc, tick, seed, dry_run):
     import jax
     import optax
 
@@ -64,7 +68,8 @@ def main(dataset_name, outdir, total_kimg, model_path, num_steps, sampler_stu,
                      afs=afs, scale_dir=scale_dir, scale_time=scale_time,
                      max_order=max_order, predict_x0=predict_x0,
                      lower_order_final=lower_order_final, lr=lr,
-                     total_kimg=total_kimg, batch=batch)
+                     total_kimg=total_kimg, batch=batch,
+                     guidance_rate=guidance_rate)
     if dry_run:
         print0("Training options:")
         print0(json.dumps(dataclasses.asdict(cfg), indent=2))
@@ -79,10 +84,30 @@ def main(dataset_name, outdir, total_kimg, model_path, num_steps, sampler_stu,
     ckpt.save_config(os.path.join(run_dir, "predictor_config.json"), cfg)
     print0(f"Run dir: {run_dir}")
 
-    module, params, _src = create_model(dataset_name, model_path)
-    den_b = bind_with_bottleneck(
-        module, params,
-        bottleneck_module_name(module.label_dim, module.img_resolution))
+    import flax.linen as flax_nn
+
+    module, params, src = create_model(dataset_name, model_path,
+                                       guidance_rate=guidance_rate)
+    # Sampling range/schedule come from the wrapped net (discrete-time tiers
+    # expose sigma maps; amed sample.py:171-185 restores the same way).
+    cfg = dataclasses.replace(cfg, sigma_min=float(module.sigma_min),
+                              sigma_max=float(module.sigma_max))
+    sigma_fn = getattr(module, "sigma", None)
+    sigma_inv_fn = getattr(module, "sigma_inv", None)
+
+    conditional = src == "adm"  # CG tier draws random labels per trajectory
+    denoise_factory = None
+    if isinstance(module, flax_nn.Module):
+        den_b = bind_with_bottleneck(
+            module, params,
+            bottleneck_module_name(module.label_dim, module.img_resolution))
+    elif conditional:
+        den_b = None
+
+        def denoise_factory(labels):
+            return bind_with_bottleneck(module, class_labels=labels)
+    else:
+        den_b = bind_with_bottleneck(module)
 
     pred = predictor_from_config(cfg)
     pred_params = jax.jit(pred.init)(jax.random.key(seed),
@@ -94,10 +119,20 @@ def main(dataset_name, outdir, total_kimg, model_path, num_steps, sampler_stu,
     mesh = get_mesh()
     rep = replicated(mesh)
     shard = data_sharding(mesh, 4)
-    train_step = jax.jit(make_amed_train_step(pred, den_b, cfg, optimizer),
-                         in_shardings=(rep, rep, shard),
-                         out_shardings=(rep, rep, rep),
-                         donate_argnums=(0, 1))
+    step_fn = make_amed_train_step(pred, den_b, cfg, optimizer,
+                                   denoise_factory=denoise_factory,
+                                   sigma_fn=sigma_fn,
+                                   sigma_inv_fn=sigma_inv_fn)
+    if conditional:
+        train_step = jax.jit(step_fn,
+                             in_shardings=(rep, rep, shard,
+                                           data_sharding(mesh, 1)),
+                             out_shardings=(rep, rep, rep),
+                             donate_argnums=(0, 1))
+    else:
+        train_step = jax.jit(step_fn, in_shardings=(rep, rep, shard),
+                             out_shardings=(rep, rep, rep),
+                             donate_argnums=(0, 1))
     pred_params = jax.device_put(pred_params, rep)
     opt_state = jax.device_put(opt_state, rep)
 
@@ -108,11 +143,19 @@ def main(dataset_name, outdir, total_kimg, model_path, num_steps, sampler_stu,
     cur_nimg, it = 0, 0
     print0(f"Training for {total_kimg} kimg (batch {batch})...")
     while cur_nimg < total_kimg * 1000:
-        latents = stacked_randn(np.arange(it * batch, (it + 1) * batch) + seed,
-                                (res, res, chn))
+        batch_seeds = np.arange(it * batch, (it + 1) * batch) + seed
+        latents = stacked_randn(batch_seeds, (res, res, chn))
         latents = jax.device_put(latents, shard)
-        pred_params, opt_state, metrics = train_step(pred_params, opt_state,
-                                                     latents)
+        if conditional:
+            from ..utils.rng import stacked_randint
+
+            labels = stacked_randint(batch_seeds, (), 0, module.label_dim)
+            labels = jax.device_put(labels, data_sharding(mesh, 1))
+            pred_params, opt_state, metrics = train_step(
+                pred_params, opt_state, latents, labels)
+        else:
+            pred_params, opt_state, metrics = train_step(pred_params,
+                                                         opt_state, latents)
         training_stats.report("Loss/loss", np.asarray(metrics["loss_per_step"]))
         cur_nimg += batch
         it += 1

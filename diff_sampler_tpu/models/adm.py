@@ -267,7 +267,8 @@ class ADMUNet(_ADMBase):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, timesteps, y=None, *, deterministic: bool = True):
+    def __call__(self, x, timesteps, y=None, *, deterministic: bool = True,
+                 return_bottleneck: bool = False):
         cm = tuple(self.channel_mult or channel_mult_for(self.image_size))
         emb_dim = self.model_channels * 4
         emb = self._time_emb(timesteps, emb_dim)
@@ -295,6 +296,9 @@ class ADMUNet(_ADMBase):
             ("middle_block_2", "res", dict(cin=ch, cout=ch, up=False, down=False)),
         ]:
             h = self._layer(name, kind, kw, emb_dim)(h, emb)
+        # AMED bottleneck tap: the reference hooks model.middle_block
+        # (solvers_amed.py:12-15 for 256-res CM/ADM); explicit output here.
+        bottleneck = h
 
         # Decoder (unet.py:566-610)
         idx = 0
@@ -326,7 +330,10 @@ class ADMUNet(_ADMBase):
 
         h = h.astype(x.dtype)
         h = _GN(ch, name="out_0")(h)
-        return _Conv(ch, self.out_channels, 3, name="out_2")(silu(h))
+        out = _Conv(ch, self.out_channels, 3, name="out_2")(silu(h))
+        if return_bottleneck:
+            return out, bottleneck
+        return out
 
 
 class ADMClassifier(_ADMBase):

@@ -140,19 +140,22 @@ def build_ldm_model(dataset_name, model_path=None, guidance_type=None,
     ld = build_latent_diffusion(dataset_name, state_dict=state_dict,
                                 cond_stage_fn=cond_fn, dtype=dtype)
 
+    unet_bneck = _capture_middle(ld.unet, ld.unet_params)
     if dataset_name == "ms_coco":
         precond = CFGPrecond(
             model_fn=lambda x, t, cond: ld.apply_model(x, t, cond),
             alphas_cumprod=ld.alphas_cumprod, img_resolution=64,
             img_channels=4, guidance_type="classifier-free",
-            guidance_rate=guidance_rate, epsilon_t=1e-3, label_dim=1)
+            guidance_rate=guidance_rate, epsilon_t=1e-3, label_dim=1,
+            model_fn_bottleneck=unet_bneck)
         precond.sigma_min = 0.1  # sfd training_loop.py:105
     else:
         precond = CFGPrecond(
             model_fn=lambda x, t, cond: ld.apply_model(x, t, None),
             alphas_cumprod=ld.alphas_cumprod, img_resolution=64,
             img_channels=3, guidance_type="uncond", guidance_rate=1.0,
-            label_dim=0)
+            label_dim=0,
+            model_fn_bottleneck=lambda x, t, cond: unet_bneck(x, t, None))
         precond.sigma_min = 0.006  # sfd training_loop.py:94,99
     precond.latent_diffusion = ld
     return precond, None
@@ -187,8 +190,23 @@ def build_cm_model(model_path=None, dtype=jnp.float32):
         return net.apply({"params": params}, x, rescaled_t, None)
 
     precond = CMPrecond(model_fn=model_fn, img_resolution=256, img_channels=3,
-                        label_dim=0)
+                        label_dim=0,
+                        model_fn_bottleneck=_capture_middle(net, params))
     return precond, params
+
+
+def _capture_middle(net, params):
+    """model_fn variant returning (out, middle-block activation) -- the AMED
+    bottleneck tap for 256-res CM/ADM and LDM.  ADMUNet and LDMUNet expose
+    the middle-block output as an explicit second return value
+    (return_bottleneck=True): the TPU-first replacement for the reference's
+    forward hook on `model.middle_block` (solvers_amed.py:7-15)."""
+
+    def fn(x, t, cond):
+        return net.apply({"params": params}, x, t, cond,
+                         return_bottleneck=True)
+
+    return fn
 
 
 def build_cg_model(model_path=None, guidance_rate=1.0, classifier_path=None,
@@ -223,5 +241,6 @@ def build_cg_model(model_path=None, guidance_rate=1.0, classifier_path=None,
         model_fn=lambda x, t, y: net.apply({"params": params}, x, t, y),
         classifier_fn=lambda x, t: cls.apply({"params": cls_params}, x, t),
         img_resolution=256, img_channels=3, label_dim=1000,
-        guidance_rate=guidance_rate)
+        guidance_rate=guidance_rate,
+        model_fn_bottleneck=_capture_middle(net, params))
     return precond, {"model": params, "classifier": cls_params}

@@ -269,7 +269,8 @@ class LDMUNet(nn.Module):
         return call
 
     @nn.compact
-    def __call__(self, x, timesteps, context=None):
+    def __call__(self, x, timesteps, context=None, *,
+                 return_bottleneck: bool = False):
         cm = tuple(self.channel_mult)
         emb_dim = self.model_channels * 4
         emb = timestep_embedding(timesteps, self.model_channels)
@@ -310,6 +311,10 @@ class LDMUNet(nn.Module):
         h = self._res_layer("middle_block_0", ch, ch, emb_dim)(h, emb)
         h = self._attn_layer("middle_block_1", ch)(h, context)
         h = self._res_layer("middle_block_2", ch, ch, emb_dim)(h, emb)
+        # AMED bottleneck tap: the reference hooks model.middle_block
+        # (solvers_amed.py:7-11); JAX has no hooks, so the activation is an
+        # explicit second output.
+        bottleneck = h
 
         idx = 0
         for level, mult in list(enumerate(cm))[::-1]:
@@ -334,7 +339,10 @@ class LDMUNet(nn.Module):
 
         h = h.astype(x.dtype)
         h = _GN(ch, name="out_0")(h)
-        return _Conv(ch, self.out_channels, 3, name="out_2")(silu(h))
+        out = _Conv(ch, self.out_channels, 3, name="out_2")(silu(h))
+        if return_bottleneck:
+            return out, bottleneck
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -29,9 +29,23 @@ import numpy as np
 
 from .unets import DhariwalUNet, SongUNet
 
-__all__ = ["EDMPrecond", "CMPrecond", "CGPrecond", "CFGPrecond", "bind", "BoundDenoiser"]
+__all__ = ["EDMPrecond", "CMPrecond", "CGPrecond", "CFGPrecond", "bind",
+           "BoundDenoiser", "extract_captured"]
 
 MODEL_TYPES = {"SongUNet": SongUNet, "DhariwalUNet": DhariwalUNet}
+
+
+def extract_captured(inter_tree):
+    """Pull the single captured activation out of a flax
+    capture_intermediates tree (the JAX replacement for the reference's
+    forward hooks, `amed-solver-main/solvers_amed.py:7-18`)."""
+    node = inter_tree["intermediates"]
+    while "__call__" not in node:
+        node = node[next(iter(node.keys()))]
+    act = node["__call__"][0]
+    if isinstance(act, tuple):
+        act = act[0]
+    return act
 
 
 def _bcast_sigma(sigma, x):
@@ -105,8 +119,11 @@ class CMPrecond:
     sigma_min: float = 0.002
     sigma_max: float = 80.0
     sigma_data: float = 0.5
+    # optional (F_x, bottleneck_act) variant for AMED training
+    # (solvers_amed.py:7-18 hooks model.middle_block for 256-res CM)
+    model_fn_bottleneck: Optional[Callable] = None
 
-    def __call__(self, x, sigma, class_labels=None):
+    def _coeffs(self, x, sigma):
         sigma = _bcast_sigma(sigma, x)
         c_skip = self.sigma_data**2 / (sigma**2 + self.sigma_data**2)
         c_out = sigma * self.sigma_data / jnp.sqrt(sigma**2 + self.sigma_data**2)
@@ -114,8 +131,20 @@ class CMPrecond:
         rescaled_t = 1000.0 * jnp.log(sigma.reshape(-1)) / 4.0
         if rescaled_t.shape[0] == 1:
             rescaled_t = jnp.broadcast_to(rescaled_t, (x.shape[0],))
+        return c_skip, c_out, c_in, rescaled_t
+
+    def __call__(self, x, sigma, class_labels=None):
+        c_skip, c_out, c_in, rescaled_t = self._coeffs(x, sigma)
         f_x = self.model_fn(c_in * x, rescaled_t, class_labels)
         return c_skip * x + c_out * f_x
+
+    def with_bottleneck(self, x, sigma, class_labels=None):
+        """(D_x, raw middle-block activation) for AMED."""
+        assert self.model_fn_bottleneck is not None, (
+            "build the model with bottleneck capture (factory builders)")
+        c_skip, c_out, c_in, rescaled_t = self._coeffs(x, sigma)
+        f_x, act = self.model_fn_bottleneck(c_in * x, rescaled_t, class_labels)
+        return c_skip * x + c_out * f_x, act
 
 
 @dataclasses.dataclass
@@ -138,6 +167,7 @@ class CGPrecond:
     beta_min: float = 0.1
     M: int = 1000
     epsilon_t: float = 1e-3
+    model_fn_bottleneck: Optional[Callable] = None
 
     def __post_init__(self):
         self.sigma_min = float(self.sigma(self.epsilon_t))
@@ -163,6 +193,17 @@ class CGPrecond:
         return jax.grad(selected_logp)(x_in) * self.guidance_rate
 
     def __call__(self, x, sigma, class_labels=None):
+        d_x, _ = self._denoise(x, sigma, class_labels, self.model_fn)
+        return d_x
+
+    def with_bottleneck(self, x, sigma, class_labels=None):
+        """(D_x, raw middle-block activation) for AMED (solvers_amed.py:12)."""
+        assert self.model_fn_bottleneck is not None, (
+            "build the model with bottleneck capture (factory builders)")
+        return self._denoise(x, sigma, class_labels, None,
+                             model_fn_b=self.model_fn_bottleneck)
+
+    def _denoise(self, x, sigma, class_labels, model_fn, model_fn_b=None):
         assert class_labels is not None, "CGPrecond needs integer class labels"
         sigma = _bcast_sigma(sigma, x)
         c_in = 1.0 / jnp.sqrt(sigma**2 + 1.0)
@@ -170,12 +211,15 @@ class CGPrecond:
         if c_noise.shape[0] == 1:
             c_noise = jnp.broadcast_to(c_noise, (x.shape[0],))
         x_in = c_in * x
-        eps = self.model_fn(x_in, c_noise, class_labels)
+        if model_fn_b is not None:
+            eps, act = model_fn_b(x_in, c_noise, class_labels)
+        else:
+            eps, act = model_fn(x_in, c_noise, class_labels), None
         eps = eps[..., : self.img_channels]  # drop learned-variance channels
         alpha_bar = 1.0 / (1.0 + sigma**2)
         eps = eps - jnp.sqrt(1.0 - alpha_bar) * self._cond_grad(x_in, c_noise, class_labels)
         d_x = x - sigma * eps
-        return jnp.clip(d_x, -1.0, 1.0)
+        return jnp.clip(d_x, -1.0, 1.0), act
 
 
 def interpolate_fn(x, xp, yp):
@@ -210,6 +254,7 @@ class CFGPrecond:
     guidance_rate: float = 1.0
     epsilon_t: float = 1e-3
     label_dim: int = 1
+    model_fn_bottleneck: Optional[Callable] = None
 
     def __post_init__(self):
         log_alphas = 0.5 * np.log(np.asarray(self.alphas_cumprod, np.float64))
@@ -236,6 +281,27 @@ class CFGPrecond:
         return interpolate_fn(log_alpha, self.log_alpha_array[::-1], self.t_array[::-1])
 
     def __call__(self, x, sigma, condition=None, unconditional_condition=None):
+        d_x, _ = self._denoise(x, sigma, condition, unconditional_condition,
+                               self.model_fn)
+        return d_x
+
+    def with_bottleneck(self, x, sigma, condition=None,
+                        unconditional_condition=None):
+        """(D_x, raw middle-block activation) for AMED; with doubled-batch
+        guidance the activation stays doubled (bind_with_bottleneck slices
+        the cond half, mirroring solvers_amed.py:33-39)."""
+        assert self.model_fn_bottleneck is not None, (
+            "build the model with bottleneck capture (factory builders)")
+        return self._denoise(x, sigma, condition, unconditional_condition,
+                             None, model_fn_b=self.model_fn_bottleneck)
+
+    def _denoise(self, x, sigma, condition, unconditional_condition, model_fn,
+                 model_fn_b=None):
+        def call(xs, ts, cs):
+            if model_fn_b is not None:
+                return model_fn_b(xs, ts, cs)
+            return model_fn(xs, ts, cs), None
+
         sigma_flat = jnp.asarray(sigma, jnp.float32).reshape(-1)
         c_in = (1.0 / jnp.sqrt(sigma_flat**2 + 1.0)).reshape((-1,) + (1,) * (x.ndim - 1))
         c_out = (-sigma_flat).reshape((-1,) + (1,) * (x.ndim - 1))
@@ -244,20 +310,20 @@ class CFGPrecond:
             c_noise = jnp.broadcast_to(c_noise, (x.shape[0],))
 
         if self.guidance_type == "uncond":
-            f_x = self.model_fn(c_in * x, c_noise, None)
+            f_x, act = call(c_in * x, c_noise, None)
         elif self.guidance_type == "classifier-free":
             if self.guidance_rate == 1.0 or unconditional_condition is None:
-                f_x = self.model_fn(c_in * x, c_noise, condition)
+                f_x, act = call(c_in * x, c_noise, condition)
             else:
                 x_in = jnp.concatenate([c_in * x] * 2)
                 t_in = jnp.concatenate([c_noise] * 2)
                 cond_in = jnp.concatenate([unconditional_condition, condition])
-                out = self.model_fn(x_in, t_in, cond_in)
+                out, act = call(x_in, t_in, cond_in)
                 noise_uncond, noise = jnp.split(out, 2)
                 f_x = noise_uncond + self.guidance_rate * (noise - noise_uncond)
         else:
             raise ValueError(self.guidance_type)
-        return x + c_out * f_x
+        return x + c_out * f_x, act
 
 
 @dataclasses.dataclass

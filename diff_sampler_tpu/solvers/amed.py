@@ -124,32 +124,54 @@ class BottleneckDenoiser:
         return self.fn(x, t)
 
 
-def bind_with_bottleneck(precond, params, module_name: str, cfg_doubled: bool = False,
-                         **cond) -> BottleneckDenoiser:
-    """Bind a flax preconditioner so each call also yields the channel-pooled
-    bottleneck activation (the hook replacement)."""
-    leaf = module_name.split("/")[-1]
+def _pool_bottleneck(act, cfg_doubled: bool):
+    """NHWC activation -> [B, h*w] channel-pooled predictor input (the
+    reference mean-pools the hooked bottleneck over channels,
+    solvers_amed.py:24-27); cfg_doubled keeps the conditional half of a
+    doubled-batch CFG call (solvers_amed.py:33-39)."""
+    pooled = act.mean(axis=-1)
+    pooled = pooled.reshape(pooled.shape[0], -1)
+    if cfg_doubled:
+        pooled = pooled[pooled.shape[0] // 2:]
+    return pooled
 
+
+def bind_with_bottleneck(precond, params=None, module_name: Optional[str] = None,
+                         cfg_doubled: bool = False, **cond) -> BottleneckDenoiser:
+    """Bind ANY preconditioner tier so each call also yields the channel-
+    pooled bottleneck activation (the forward-hook replacement).
+
+      * flax EDMPrecond: capture_intermediates on `module_name`
+        (enc_8x8_block2/3 per solvers_amed.py:16-18),
+      * CM/CG/CFG dataclass wrappers: the factory attaches a
+        model_fn_bottleneck that returns (out, middle_block activation)
+        (solvers_amed.py:7-15); `with_bottleneck` routes through it.
+    """
+    from ..models.precond import extract_captured
+
+    if isinstance(precond, nn.Module):
+        leaf = (module_name or "").split("/")[-1]
+        assert leaf, "flax preconditioner needs module_name"
+
+        def fn(x, t):
+            out, inter = precond.apply(
+                {"params": params}, x, t, capture_intermediates=lambda mdl, _:
+                mdl.name == leaf, **cond)
+            return out, _pool_bottleneck(extract_captured(inter), cfg_doubled)
+
+        def plain_fn(x, t):
+            return precond.apply({"params": params}, x, t, **cond)
+
+        return BottleneckDenoiser(fn, plain_fn, precond.sigma_min,
+                                  precond.sigma_max)
+
+    # CM / CG / CFG wrappers (dataclasses over model_fn)
     def fn(x, t):
-        out, inter = precond.apply(
-            {"params": params}, x, t, capture_intermediates=lambda mdl, _:
-            mdl.name == leaf, **cond)
-        tree = inter["intermediates"]
-        # walk to the captured module output
-        node = tree
-        while "__call__" not in node:
-            node = node[next(iter(node.keys()))]
-        act = node["__call__"][0]
-        if isinstance(act, tuple):
-            act = act[0]
-        pooled = act.mean(axis=-1)  # NHWC: channel-pool -> [B, h, w]
-        pooled = pooled.reshape(pooled.shape[0], -1)
-        if cfg_doubled:
-            pooled = pooled[pooled.shape[0] // 2:]
-        return out, pooled
+        out, act = precond.with_bottleneck(x, t, **cond)
+        return out, _pool_bottleneck(act, cfg_doubled)
 
     def plain_fn(x, t):
-        return precond.apply({"params": params}, x, t, **cond)
+        return precond(x, t, **cond)
 
     return BottleneckDenoiser(fn, plain_fn, precond.sigma_min, precond.sigma_max)
 

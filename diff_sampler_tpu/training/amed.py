@@ -69,30 +69,41 @@ def predictor_from_config(cfg: AMEDConfig, bottleneck_dim: int = 64) -> AMEDPred
 
 
 def make_amed_train_step(predictor: AMEDPredictor, denoise_b, cfg: AMEDConfig,
-                         optimizer: optax.GradientTransformation):
+                         optimizer: optax.GradientTransformation,
+                         denoise_factory=None, sigma_fn=None,
+                         sigma_inv_fn=None):
     """Build the jittable per-trajectory AMED training step.
 
     denoise_b: BottleneckDenoiser over the FROZEN pre-trained net.
-    Returns train_step(pred_params, opt_state, latents) ->
+    denoise_factory: optional labels -> BottleneckDenoiser builder for
+      conditional tiers (ADM classifier guidance draws random class labels
+      per trajectory, amed training_loop.py:176-180); when given, the
+      returned step takes a 4th `labels` argument and denoise_b is ignored.
+    Returns train_step(pred_params, opt_state, latents[, labels]) ->
       (pred_params, opt_state, metrics); latents ~ N(0, 1).
+
+    sigma_fn/sigma_inv_fn: required for schedule_type='discrete' (LDM tier).
     """
     t_steps = get_schedule(cfg.num_steps, cfg.sigma_min, cfg.sigma_max,
-                           cfg.schedule_type, cfg.schedule_rho)
+                           cfg.schedule_type, cfg.schedule_rho,
+                           sigma_fn=sigma_fn, sigma_inv_fn=sigma_inv_fn)
     n_tea = (cfg.M + 1) * (cfg.num_steps - 1) + 1
     tea_t = get_schedule(n_tea, cfg.sigma_min, cfg.sigma_max,
-                         cfg.schedule_type, cfg.schedule_rho)
+                         cfg.schedule_type, cfg.schedule_rho,
+                         sigma_fn=sigma_fn, sigma_inv_fn=sigma_inv_fn)
     tea_idx = np.asarray(teacher_slice_indices(cfg.num_steps, cfg.M))
     tea_sampler = get_sampler(cfg.sampler_tea)
     single_step_stu = cfg.sampler_stu in ("euler", "dpm", "amed")
 
-    def teacher_traj(latents):
-        out = tea_sampler(denoise_b, latents, tea_t, return_inters=True,
+    def teacher_traj(den, latents):
+        out = tea_sampler(den, latents, tea_t, return_inters=True,
                           max_order=cfg.max_order, predict_x0=cfg.predict_x0,
                           lower_order_final=cfg.lower_order_final)
         return out.xs[tea_idx]
 
-    def train_step(pred_params, opt_state, latents):
-        tea = jax.lax.stop_gradient(teacher_traj(latents))
+    def train_step(pred_params, opt_state, latents, labels=None):
+        den = denoise_factory(labels) if denoise_factory is not None else denoise_b
+        tea = jax.lax.stop_gradient(teacher_traj(den, latents))
         x = latents * jnp.float32(t_steps[0])
         buffers = ([], [])
         losses = []
@@ -104,7 +115,7 @@ def make_amed_train_step(predictor: AMEDPredictor, denoise_b, cfg: AMEDConfig,
                     return predictor.apply({"params": pp}, b, tc, tn)
 
                 res, bufs_out, _ = _amed_family(
-                    denoise_b, pred_apply, x_in / jnp.float32(seg_t[0]), seg_t,
+                    den, pred_apply, x_in / jnp.float32(seg_t[0]), seg_t,
                     mode=cfg.sampler_stu, afs=cfg.afs, max_order=cfg.max_order,
                     predict_x0=cfg.predict_x0,
                     lower_order_final=cfg.lower_order_final,

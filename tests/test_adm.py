@@ -184,6 +184,7 @@ def test_cg_precond_end_to_end(ref_gd):
     assert err < 5e-4, err
 
 
+@pytest.mark.slow
 def test_factory_cm_and_cg_random():
     from diff_sampler_tpu.models.factory import create_model
     from diff_sampler_tpu.models.precond import bind
@@ -197,6 +198,7 @@ def test_factory_cm_and_cg_random():
     assert d.shape == x.shape and bool(jnp.isfinite(d).all())
 
 
+@pytest.mark.slow
 def test_conditional_generate_determinism():
     """Conditional generate(): per-seed labels + images reproduce across
     batch splits (the determinism contract extended to labels)."""

@@ -123,6 +123,7 @@ def test_amed_sampler_parity(ref_amed, mode):
     assert err < 5e-4, (mode, err)
 
 
+@pytest.mark.slow
 def test_amed_training_smoke():
     """AMED trainer end-to-end on the analytic path: loss finite and the
     predictor params actually move."""

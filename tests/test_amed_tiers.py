@@ -1,0 +1,227 @@
+"""AMED beyond the EDM tier (VERDICT round-1 missing #4): the bottleneck tap,
+bind_with_bottleneck, and the trainer must work on CM (ADMUNet-256-style),
+ADM classifier guidance, and LDM tiers -- the reference's headline AMED
+results include LSUN-Bedroom 13.20 @ NFE5 on the CM model
+(`amed-solver-main/README.md:9`, hook points `solvers_amed.py:7-18`)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from diff_sampler_tpu.models.adm import ADMClassifier, ADMUNet
+from diff_sampler_tpu.models.factory import _capture_middle
+from diff_sampler_tpu.models.ldm import LDMUNet
+from diff_sampler_tpu.models.precond import CFGPrecond, CGPrecond, CMPrecond
+from diff_sampler_tpu.solvers import amed as A
+from diff_sampler_tpu.training.amed import (AMEDConfig, make_amed_train_step,
+                                            predictor_from_config)
+
+RES = 16  # tiny "256-style" config: 2 levels -> middle block at 8x8 = 64 dims
+
+# ADM/LDM GroupNorms are fixed 32-group (guided_diffusion GroupNorm32), so
+# the smallest valid width is 32 channels.
+ADM_KW = dict(image_size=RES, in_channels=3, model_channels=32, out_channels=3,
+              num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+              num_heads=2, num_head_channels=16, use_scale_shift_norm=False,
+              resblock_updown=True)
+LDM_KW = dict(image_size=RES, in_channels=3, out_channels=3, model_channels=32,
+              num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+              num_heads=2)
+
+
+def _cm_precond():
+    net = ADMUNet(**ADM_KW)
+    params = net.init(jax.random.key(0), jnp.zeros((1, RES, RES, 3)),
+                      jnp.ones((1,)))["params"]
+
+    return CMPrecond(
+        model_fn=lambda x, t, y: net.apply({"params": params}, x, t, None),
+        img_resolution=RES, img_channels=3, label_dim=0,
+        model_fn_bottleneck=_capture_middle(net, params)), net, params
+
+
+def _ldm_precond(guidance_type="uncond", guidance_rate=1.0):
+    net = LDMUNet(**LDM_KW)
+    params = net.init(jax.random.key(0), jnp.zeros((1, RES, RES, 3)),
+                      jnp.ones((1,)))["params"]
+    alphas = np.cumprod(1.0 - np.linspace(1e-4, 2e-2, 50))
+    bneck = _capture_middle(net, params)
+    # epsilon_t must stay >= 1/M (the first alphas keypoint); real LDM
+    # checkpoints have M=1000 where the default 1e-3 is exactly 1/M.
+    pre = CFGPrecond(
+        model_fn=lambda x, t, cond: net.apply({"params": params}, x, t, None),
+        alphas_cumprod=alphas, img_resolution=RES, img_channels=3,
+        guidance_type=guidance_type, guidance_rate=guidance_rate, label_dim=0,
+        epsilon_t=1.0 / 50,
+        model_fn_bottleneck=lambda x, t, cond: bneck(x, t, None))
+    return pre, net, params
+
+
+def test_cm_bottleneck_matches_plain_call():
+    pre, net, params = _cm_precond()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, RES, RES, 3).astype(np.float32))
+    sigma = jnp.asarray([5.0, 1.3])
+    d_plain = pre(x, sigma)
+    d_b, act = pre.with_bottleneck(x, sigma)
+    np.testing.assert_array_equal(np.asarray(d_plain), np.asarray(d_b))
+    # middle block at 8x8 with top channels
+    assert act.shape == (2, RES // 2, RES // 2, 64)
+
+
+def test_cm_bind_with_bottleneck_pools_to_64():
+    pre, _, _ = _cm_precond()
+    den_b = A.bind_with_bottleneck(pre)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, RES, RES, 3).astype(np.float32))
+    out, pooled = den_b.with_bottleneck(x, jnp.asarray([2.0, 2.0]))
+    assert out.shape == x.shape
+    assert pooled.shape == (2, 64)
+    np.testing.assert_array_equal(np.asarray(den_b(x, jnp.asarray([2.0, 2.0]))),
+                                  np.asarray(out))
+
+
+def test_cm_amed_sampler_runs_and_deterministic():
+    pre, _, _ = _cm_precond()
+    den_b = A.bind_with_bottleneck(pre)
+    cfg = AMEDConfig(num_steps=4, scale_dir=0.01, scale_time=0.0)
+    pred = predictor_from_config(cfg)
+    pred_params = pred.init(jax.random.key(1), jnp.zeros((2, 64)),
+                            jnp.asarray(1.0), jnp.asarray(0.5))["params"]
+
+    def pred_apply(b, tc, tn):
+        return pred.apply({"params": pred_params}, b, tc, tn)
+
+    from diff_sampler_tpu.ops import get_schedule
+
+    t_steps = get_schedule(4, pre.sigma_min, pre.sigma_max, "polynomial", 7.0)
+    lat = jax.random.normal(jax.random.key(2), (2, RES, RES, 3))
+    out1 = A.AMED_SOLVER_REGISTRY["amed"](den_b, pred_apply, lat, t_steps).x
+    out2 = A.AMED_SOLVER_REGISTRY["amed"](den_b, pred_apply, lat, t_steps).x
+    assert np.all(np.isfinite(np.asarray(out1, np.float32)))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+@pytest.mark.slow
+def test_cm_amed_training_smoke():
+    """AMED trainer over the CM (ADMUNet) tier: loss finite, params move."""
+    pre, _, _ = _cm_precond()
+    den_b = A.bind_with_bottleneck(pre)
+    cfg = AMEDConfig(num_steps=3, M=1, sampler_stu="amed", sampler_tea="heun",
+                     scale_dir=0.01, scale_time=0.0,
+                     sigma_min=pre.sigma_min, sigma_max=pre.sigma_max)
+    pred = predictor_from_config(cfg)
+    pred_params = pred.init(jax.random.key(1), jnp.zeros((2, 64)),
+                            jnp.asarray(1.0), jnp.asarray(0.5))["params"]
+    opt = optax.adam(cfg.lr)
+    step = jax.jit(make_amed_train_step(pred, den_b, cfg, opt))
+    lat = jax.random.normal(jax.random.key(3), (2, RES, RES, 3))
+    new_params, _, metrics = step(pred_params, opt.init(pred_params), lat)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         pred_params, new_params)
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+
+@pytest.mark.slow
+def test_cg_amed_training_with_labels():
+    """Conditional (classifier-guidance) tier: denoise_factory per-batch
+    labels thread through the jitted train step."""
+    net = ADMUNet(**{**ADM_KW, "num_classes": 7,
+                     "out_channels": 6})  # eps + learned variance
+    params = net.init(jax.random.key(0), jnp.zeros((1, RES, RES, 3)),
+                      jnp.ones((1,)), jnp.zeros((1,), jnp.int32))["params"]
+    cls = ADMClassifier(image_size=RES, in_channels=3, model_channels=32,
+                        out_channels=7, num_res_blocks=1,
+                        attention_resolutions=(2,), channel_mult=(1, 2),
+                        num_head_channels=16, pool="attention")
+    cls_params = cls.init(jax.random.key(1), jnp.zeros((1, RES, RES, 3)),
+                          jnp.ones((1,)))["params"]
+
+    def capture(x, t, y):
+        return net.apply({"params": params}, x, t, y, return_bottleneck=True)
+
+    pre = CGPrecond(
+        model_fn=lambda x, t, y: net.apply({"params": params}, x, t, y),
+        classifier_fn=lambda x, t: cls.apply({"params": cls_params}, x, t),
+        img_resolution=RES, img_channels=3, label_dim=7, guidance_rate=0.5,
+        model_fn_bottleneck=capture)
+
+    cfg = AMEDConfig(num_steps=3, M=1, sampler_stu="amed", sampler_tea="euler",
+                     scale_dir=0.01, scale_time=0.0,
+                     sigma_min=float(pre.sigma_min),
+                     sigma_max=float(pre.sigma_max))
+    pred = predictor_from_config(cfg)
+    pred_params = pred.init(jax.random.key(2), jnp.zeros((2, 64)),
+                            jnp.asarray(1.0), jnp.asarray(0.5))["params"]
+    opt = optax.adam(cfg.lr)
+
+    def factory(labels):
+        return A.bind_with_bottleneck(pre, class_labels=labels)
+
+    step = jax.jit(make_amed_train_step(pred, None, cfg, opt,
+                                        denoise_factory=factory,
+                                        sigma_fn=pre.sigma,
+                                        sigma_inv_fn=pre.sigma_inv))
+    lat = jax.random.normal(jax.random.key(3), (2, RES, RES, 3))
+    labels = jnp.asarray([1, 4], jnp.int32)
+    new_params, _, metrics = step(pred_params, opt.init(pred_params), lat,
+                                  labels)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         pred_params, new_params)
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+
+def test_ldm_bottleneck_and_discrete_schedule():
+    pre, _, _ = _ldm_precond()
+    den_b = A.bind_with_bottleneck(pre)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, RES, RES, 3).astype(np.float32))
+    sigma = jnp.full((2,), 0.5 * (pre.sigma_min + pre.sigma_max))
+    out, pooled = den_b.with_bottleneck(x, sigma)
+    assert out.shape == x.shape and pooled.shape == (2, 64)
+
+    from diff_sampler_tpu.ops import get_schedule
+
+    t = get_schedule(4, pre.sigma_min, pre.sigma_max, "discrete", 7.0,
+                     sigma_fn=pre.sigma, sigma_inv_fn=pre.sigma_inv)
+    assert t.shape == (4,) and t[0] > t[-1] > 0
+
+
+def test_cfg_doubled_batch_pools_cond_half():
+    pre, _, _ = _ldm_precond(guidance_type="classifier-free", guidance_rate=2.0)
+    den_b = A.bind_with_bottleneck(pre, cfg_doubled=True,
+                                   condition=None, unconditional_condition=None)
+    # guidance_rate != 1 but unconditional_condition None -> single batch;
+    # exercise the doubled path directly through with_bottleneck semantics.
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, RES, RES, 3).astype(np.float32))
+    sigma = jnp.full((2,), 1.0)
+    out, act = pre.with_bottleneck(x, sigma)
+    pooled = A._pool_bottleneck(act, cfg_doubled=True)
+    assert pooled.shape == (1, 64)  # cond half of the 2-batch
+
+
+@pytest.mark.slow
+def test_ldm_amed_training_smoke_discrete():
+    pre, _, _ = _ldm_precond()
+    den_b = A.bind_with_bottleneck(pre)
+    cfg = AMEDConfig(num_steps=3, M=1, sampler_stu="amed", sampler_tea="euler",
+                     schedule_type="discrete",
+                     sigma_min=float(pre.sigma_min),
+                     sigma_max=float(pre.sigma_max),
+                     scale_dir=0.01, scale_time=0.0)
+    pred = predictor_from_config(cfg)
+    pred_params = pred.init(jax.random.key(6), jnp.zeros((2, 64)),
+                            jnp.asarray(1.0), jnp.asarray(0.5))["params"]
+    opt = optax.adam(cfg.lr)
+    step = jax.jit(make_amed_train_step(pred, den_b, cfg, opt,
+                                        sigma_fn=pre.sigma,
+                                        sigma_inv_fn=pre.sigma_inv))
+    lat = jax.random.normal(jax.random.key(7), (2, RES, RES, 3))
+    new_params, _, metrics = step(pred_params, opt.init(pred_params), lat)
+    assert np.isfinite(float(metrics["loss"]))

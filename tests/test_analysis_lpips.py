@@ -59,6 +59,7 @@ def test_straight_line_geometry():
     np.testing.assert_allclose(dev["curvature"], 0.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_lpips_premetric_properties():
     net = LPIPS()
     x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3)) * 0.5
@@ -72,6 +73,7 @@ def test_lpips_premetric_properties():
     np.testing.assert_allclose(np.asarray(d_diff), np.asarray(d_sym), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sfd_second_stage_with_lpips():
     import optax
 

@@ -85,6 +85,7 @@ def test_prdc_perfect_overlap():
     assert out["coverage"] == 1.0
 
 
+@pytest.mark.slow
 def test_inception_shapes_and_pipeline():
     net = InceptionV3FID()
     imgs = (np.random.RandomState(0).rand(2, 32, 32, 3) * 255).astype(np.uint8)

@@ -8,6 +8,7 @@ regression in the driver surface fails the suite instead of the driver run.
 """
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -34,6 +35,7 @@ def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_2():
     # Mesh sizes other than 8 must also work (driver may probe different N).
     graft.dryrun_multichip(2)

@@ -173,6 +173,7 @@ def test_linear_schedule_matches_reference_formula():
     assert ac.shape == (1000,) and 0 < ac[-1] < ac[0] < 1
 
 
+@pytest.mark.slow
 def test_cfg_precond_with_latent_diffusion():
     """CFGPrecond over a random-init SD-style LatentDiffusion: classifier-free
     guidance doubling + discrete sigma maps run end-to-end."""
@@ -228,6 +229,7 @@ def test_sigma_inv_roundtrip():
     np.testing.assert_allclose(np.asarray(back), sig, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_factory_ldm_random_and_clip_conversion():
     """Factory LDM path with random init end-to-end (small override), plus
     the CLIP text-param converter on a tiny random torch CLIP state_dict."""

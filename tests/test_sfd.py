@@ -39,6 +39,7 @@ def _setup(num_steps=3, M=1, afs=False):
     return net, params, opt, step
 
 
+@pytest.mark.slow
 def test_sfd_loss_decreases():
     net, params, opt, step = _setup()
     teacher = jax.tree.map(lambda a: a.copy(), params)
@@ -56,6 +57,7 @@ def test_sfd_loss_decreases():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_sfd_teacher_equals_student_zero_loss_first_step():
     """With student == teacher and the default dpmpp teacher at M=0 the fine
     trajectory IS the student euler?  Not in general -- but the loss must be
@@ -75,6 +77,7 @@ def test_sfd_teacher_equals_student_zero_loss_first_step():
     assert per_step[0] < 1e-4, per_step
 
 
+@pytest.mark.slow
 def test_sfd_afs_first_step_frozen():
     net, params, opt, step = _setup(afs=True)
     teacher = jax.tree.map(lambda a: a.copy(), params)
@@ -84,6 +87,7 @@ def test_sfd_afs_first_step_frozen():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_sfd_data_parallel_matches_single_device():
     from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
