@@ -66,10 +66,22 @@ def export_amed_schedule(predictor_apply, denoise_b, sample_shape,
                t_mid=t_mid.tolist(), num_steps=num_steps,
                schedule_type=schedule_type, schedule_rho=schedule_rho)
 
+    # Interleaved per-step lists in the plugin's indexing: the scheduler
+    # applies scale_dirs[step_index] at EVERY interleaved step and shifts
+    # odd-indexed eval times by scale_times (diffusers_amed_plugin_dpmpp.py
+    # :54-58, :433).  Even entries (the base-schedule steps) are identity.
+    n_inter = 2 * (num_steps - 1) + 1
+    sd_inter = np.ones(n_inter)
+    st_inter = np.ones(n_inter)
+    sd_inter[1::2] = np.asarray(sds)
+    st_inter[1::2] = np.asarray(sts)
+    out["scale_dirs_interleaved"] = sd_inter.tolist()
+    out["scale_times_interleaved"] = st_inter.tolist()
+
     if alphas_cumprod is not None:
         # interleave (t_i, t_mid_i) and map to nearest discrete indices
         all_sigmas = np.sqrt((1.0 - alphas_cumprod) / alphas_cumprod)
-        inter = np.empty(2 * (num_steps - 1) + 1)
+        inter = np.empty(n_inter)
         inter[0::2] = t
         inter[1::2] = t_mid
         idx = [int(np.abs(all_sigmas - s).argmin()) for s in inter]

@@ -234,7 +234,11 @@ def interpolate_fn(x, xp, yp):
     lo = jnp.clip(idx - 1, 0, k - 2)
     x0, x1 = xp[lo], xp[lo + 1]
     y0, y1 = yp[lo], yp[lo + 1]
-    return y0 + (x - x0) * (y1 - y0) / (x1 - x0)
+    # Guard zero-width segments: float32 keypoint tables (e.g. a checkpoint's
+    # alphas_cumprod) can contain duplicates after rounding; 0/0 would NaN.
+    denom = x1 - x0
+    frac = jnp.where(denom == 0, 0.0, (x - x0) / jnp.where(denom == 0, 1.0, denom))
+    return y0 + frac * (y1 - y0)
 
 
 @dataclasses.dataclass
