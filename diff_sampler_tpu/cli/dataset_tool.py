@@ -1,14 +1,24 @@
 """Dataset -> zip converter (EDM-style), mirroring
-`amed-solver-main/dataset_tool.py:31-440`: folder / CIFAR-10 python archive /
-npz inputs -> a zip of PNGs with an optional dataset.json label manifest,
-consumable by eval.dataset.ImageFolderDataset and fid ref.
+`amed-solver-main/dataset_tool.py:31-440`: folder / zip / CIFAR-10 python
+archive / MNIST idx-ubyte.gz / LSUN LMDB / npz inputs -> a zip of PNGs with
+an optional dataset.json label manifest, consumable by
+eval.dataset.ImageFolderDataset and fid ref.
 
   python -m diff_sampler_tpu.cli.dataset_tool --source=cifar-10-python.tar.gz \\
       --dest=datasets/cifar10.zip
+  python -m diff_sampler_tpu.cli.dataset_tool \\
+      --source=train-images-idx3-ubyte.gz --dest=datasets/mnist.zip
+  python -m diff_sampler_tpu.cli.dataset_tool --source=bedroom_train_lmdb \\
+      --dest=datasets/lsun_bedroom.zip --resolution=256
+
+LMDB ingestion uses a pure-Python reader (utils/lmdb_reader.py) -- no lmdb
+C binding needed (the reference requires `pip install lmdb cv2`,
+dataset_tool.py:113-115).
 """
 
 from __future__ import annotations
 
+import gzip
 import io
 import json
 import os
@@ -62,9 +72,66 @@ def _iter_npz(path):
         yield img, (int(label) if label is not None else None)
 
 
+def _iter_mnist(images_gz):
+    """MNIST idx-ubyte.gz pair, zero-padded 28->32
+    (dataset_tool.py open_mnist :173-199)."""
+    labels_gz = images_gz.replace("-images-idx3-ubyte.gz",
+                                  "-labels-idx1-ubyte.gz")
+    if labels_gz == images_gz:
+        raise click.ClickException(
+            "MNIST source must be the *-images-idx3-ubyte.gz file")
+    with gzip.open(images_gz, "rb") as f:
+        images = np.frombuffer(f.read(), np.uint8, offset=16)
+    with gzip.open(labels_gz, "rb") as f:
+        labels = np.frombuffer(f.read(), np.uint8, offset=8)
+    images = images.reshape(-1, 28, 28)
+    images = np.pad(images, [(0, 0), (2, 2), (2, 2)], "constant")
+    assert len(images) == len(labels)
+    for img, label in zip(images, labels):
+        yield img, int(label)
+
+
+def _iter_lmdb(path):
+    """LSUN-style LMDB of encoded image blobs (dataset_tool.py open_lmdb
+    :113-139); decodes with PIL (the reference's cv2-failure fallback)."""
+    import PIL.Image
+
+    from ..utils.lmdb_reader import LMDBReader
+
+    with LMDBReader(path) as db:
+        for _key, value in db.items():
+            try:
+                img = np.array(PIL.Image.open(io.BytesIO(value)).convert("RGB"))
+            except Exception as e:  # mirror the reference's skip-and-print
+                print(e)
+                continue
+            yield img, None
+
+
+def _iter_zip(path):
+    """Existing image zip (dataset_tool.py open_image_zip :88-109)."""
+    import PIL.Image
+
+    with zipfile.ZipFile(path) as z:
+        names = [n for n in sorted(z.namelist())
+                 if os.path.splitext(n)[1].lower() in
+                 {".png", ".jpg", ".jpeg", ".bmp", ".webp"}]
+        labels = {}
+        if "dataset.json" in z.namelist():
+            with z.open("dataset.json") as f:
+                data = json.load(f).get("labels")
+                if data:
+                    labels = {x[0]: x[1] for x in data}
+        for n in names:
+            with z.open(n) as f:
+                img = np.array(PIL.Image.open(f).convert("RGB"))
+            yield img, labels.get(n)
+
+
 @click.command()
 @click.option("--source", type=str, required=True,
-              help="folder | cifar-10-python.tar.gz | .npz")
+              help="folder | .zip | cifar-10-python.tar.gz | "
+                   "*-images-idx3-ubyte.gz (MNIST) | *_lmdb dir (LSUN) | .npz")
 @click.option("--dest", type=str, required=True, help="output .zip")
 @click.option("--resolution", type=int, default=None)
 @click.option("--max-images", type=int, default=None)
@@ -72,11 +139,20 @@ def main(source, dest, resolution, max_images):
     import PIL.Image
 
     if os.path.isdir(source):
-        it = _iter_folder(source)
+        # LSUN convention: directory names end in _lmdb (dataset_tool.py:260)
+        if (source.rstrip("/").endswith("_lmdb")
+                or os.path.isfile(os.path.join(source, "data.mdb"))):
+            it = _iter_lmdb(source)
+        else:
+            it = _iter_folder(source)
+    elif source.endswith("-images-idx3-ubyte.gz"):
+        it = _iter_mnist(source)
     elif source.endswith((".tar.gz", ".tgz")):
         it = _iter_cifar10(source)
     elif source.endswith(".npz"):
         it = _iter_npz(source)
+    elif source.endswith(".zip"):
+        it = _iter_zip(source)
     else:
         raise click.ClickException(f"unsupported source: {source}")
 
