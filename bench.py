@@ -4,23 +4,25 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N, ...}
 
 The reference publishes no throughput numbers (SURVEY.md section 6), so
-vs_baseline is computed against an ANALYTIC A100 estimate documented here:
+vs_baseline is computed against an ANALYTIC A100 estimate:
   * flops/image/NFE taken from XLA's compiled cost analysis,
-  * A100 roofline: 312 TFLOP/s bf16 peak x 40% realistic UNet utilization
-    (A100_EFF_TFLOPS below).
-The headline metric is NFE=35 (iPNDM, num_steps=36) -- the reference's
-high-quality operating point; NFE 5/10 are reported alongside.
+  * primary basis (unchanged from round 1 for comparability): A100 bf16
+    roofline 312 TFLOP/s x 40% utilization,
+  * also reported: a TF32 basis (156 TFLOP/s x 40%) -- the reference
+    actually samples CIFAR EDM in fp32 torch eager, where TF32 tensor cores
+    are the realistic ceiling, so the bf16 basis overstates the A100.
+Timing chains iterations (output folded into next input, one final D2H) per
+BENCH_NOTES.md's axon-tunnel guidance.
 """
 
 import json
 import time
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
-A100_EFF_TFLOPS = 312e12 * 0.40
+A100_BF16_EFF = 312e12 * 0.40
+A100_TF32_EFF = 156e12 * 0.40
 
 
 def main():
@@ -51,34 +53,48 @@ def main():
         flops_per_image = 0.0
 
     results = {}
-    batch = 512
-    for label, solver, num_steps in [("nfe5", "ipndm", 6), ("nfe10", "ipndm", 11),
-                                     ("nfe35", "ipndm", 36)]:
+    batch = 256
+    for label, num_steps in [("nfe5", 6), ("nfe10", 11), ("nfe35", 36)]:
         t_steps = get_schedule(num_steps, den.sigma_min, den.sigma_max,
                                "polynomial", 7.0)
-        fn = jax.jit(lambda lat, n=num_steps, t=t_steps:
-                     get_sampler("ipndm")(den, lat, t).x)
+
+        @jax.jit
+        def fn(lat, t=t_steps):
+            out = get_sampler("ipndm")(den, lat, t).x
+            # chain: fold a scalar of the output back into the next latents
+            return lat + jnp.mean(out) * 1e-12
+
         lat = jax.device_put(
             jax.random.normal(jax.random.key(1), (batch, 32, 32, 3)), dev)
-        fn(lat).block_until_ready()  # compile
+        lat = fn(lat)
+        lat.block_until_ready()  # compile + warm
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = fn(lat)
-        out.block_until_ready()
+            lat = fn(lat)
+        lat.block_until_ready()
         dt = (time.perf_counter() - t0) / reps
         results[label] = batch / dt
 
     nfe = 35
     value = results["nfe35"]
-    a100_est = (A100_EFF_TFLOPS / (flops_per_image * nfe)) if flops_per_image else None
+    if flops_per_image:
+        a100_bf16 = A100_BF16_EFF / (flops_per_image * nfe)
+        a100_tf32 = A100_TF32_EFF / (flops_per_image * nfe)
+    else:
+        a100_bf16 = a100_tf32 = None
     print(json.dumps({
         "metric": "cifar10_edm_songunet_images_per_sec_per_chip_nfe35",
         "value": round(value, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(value / a100_est, 3) if a100_est else None,
-        "baseline_note": "A100 analytic roofline estimate (312 TF bf16 x 0.40)",
-        "a100_estimate": round(a100_est, 2) if a100_est else None,
+        "vs_baseline": round(value / a100_bf16, 3) if a100_bf16 else None,
+        "baseline_note": ("A100 analytic roofline (312 TF bf16 x 0.40); "
+                          "TF32 basis + v5e-8 aggregate also reported"),
+        "a100_bf16_estimate": round(a100_bf16, 2) if a100_bf16 else None,
+        "a100_tf32_estimate": round(a100_tf32, 2) if a100_tf32 else None,
+        "vs_a100_tf32": round(value / a100_tf32, 3) if a100_tf32 else None,
+        "v5e8_aggregate_vs_a100_bf16":
+            round(8 * value / a100_bf16, 2) if a100_bf16 else None,
         "flops_per_image_per_nfe": flops_per_image,
         "batch": batch,
         "nfe5_imgs_per_sec": round(results["nfe5"], 2),

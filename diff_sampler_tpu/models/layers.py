@@ -78,6 +78,13 @@ class Linear(nn.Module):
         return y
 
 
+# module-level perf switch: implement the 2x2 box resample as reshapes
+# instead of a feature-grouped conv.  Measured on v5e (scripts/perf_probe.py
+# A/B, CIFAR SongUNet batch 256): depthwise 70.4 ms/eval vs reshape 71.3 --
+# XLA's grouped conv wins slightly at model level, so this stays off.
+BOX_RESAMPLE_RESHAPE = False
+
+
 def _resample_kernel(resample_filter: Sequence[float]) -> np.ndarray:
     f = np.asarray(resample_filter, dtype=np.float32)
     f = np.outer(f, f) / (f.sum() ** 2)
@@ -88,6 +95,21 @@ def _depthwise(x, f2d, *, stride=1, padding=0, transpose=False, tp_pad=0):
     """Depthwise conv (or transposed conv) with a shared 2D filter, NHWC."""
     c = x.shape[-1]
     k = f2d.shape[0]
+    # Fast path for the default box filter (resample_filter=[1,1], k=2): the
+    # feature-grouped conv is exactly nearest-neighbor 2x upsampling (transpose)
+    # or 2x2 scaled mean-pooling (stride-2), expressible as reshapes.
+    # Toggleable for A/B measurement (scripts/perf_probe.py).
+    if BOX_RESAMPLE_RESHAPE and k == 2 and float(np.ptp(f2d)) == 0.0:
+        v = float(f2d[0, 0])
+        n, h, w, _ = x.shape
+        if transpose and tp_pad == 0:
+            y = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+            y = y.reshape(n, 2 * h, 2 * w, c)
+            return y if v == 1.0 else y * jnp.asarray(v, x.dtype)
+        if not transpose and stride == 2 and padding == 0:
+            y = (x * jnp.asarray(v, x.dtype)).astype(jnp.float32)
+            y = y.reshape(n, h // 2, 2, w // 2, 2, c).sum(axis=(2, 4))
+            return y.astype(x.dtype)
     kern = jnp.tile(f2d[:, :, None, None].astype(x.dtype), (1, 1, 1, c))  # HWIO, I=1 (grouped)
     if transpose:
         # torch conv_transpose2d(stride=2, padding=p) == lhs_dilated conv with

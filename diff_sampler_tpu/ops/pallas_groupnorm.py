@@ -47,12 +47,23 @@ def _gn_kernel(x_ref, scale_ref, bias_ref, gmat_ref, o_ref, *, eps, apply_silu,
 
 
 def _jnp_gn(x, scale, bias, groups, eps, apply_silu):
+    """Two-pass GroupNorm shaped for minimum HBM traffic: one fused
+    sum/sum-of-squares stats pass, then one fused  x*a + b (+silu)  pass with
+    the per-(sample, channel) affine folded into a and b."""
     n, h, w, c = x.shape
-    xg = x.reshape(n, h * w, groups, c // groups).astype(jnp.float32)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
-    out = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(n, h, w, c)
-    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    cg = c // groups
+    xg = x.reshape(n, h * w, groups, cg).astype(jnp.float32)
+    s1 = jnp.sum(xg, axis=(1, 3))            # [n, g]
+    s2 = jnp.sum(xg * xg, axis=(1, 3))       # [n, g]
+    cnt = h * w * cg
+    mean = s1 / cnt
+    var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)           # [n, g]
+    inv_c = jnp.repeat(inv, cg, axis=1)      # [n, c]
+    mean_c = jnp.repeat(mean, cg, axis=1)
+    a = inv_c * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - mean_c * a
+    out = x.astype(jnp.float32) * a[:, None, None, :] + b[:, None, None, :]
     if apply_silu:
         out = jax.nn.silu(out)
     return out.astype(x.dtype)

@@ -31,8 +31,13 @@ import jax.numpy as jnp
 @click.option("--batch", type=int, default=16)
 @click.option("--data", "data_path", type=str, default=None,
               help="Image dir/zip for the optimal-denoiser comparison")
+@click.option("--num_images", type=int, default=None,
+              help="Large-scale mode (the main_mp.ipynb 50k-image harness): "
+                   "accumulate device-side geometry stats over this many "
+                   "images, sharded across the mesh; PCA extras skipped")
 @click.option("--outdir", type=str, default="analysis_out")
-def main(dataset_name, model_path, solver, num_steps, batch, data_path, outdir):
+def main(dataset_name, model_path, solver, num_steps, batch, data_path,
+         num_images, outdir):
     from diff_sampler_tpu import analysis
     from diff_sampler_tpu.models.factory import create_model
     from diff_sampler_tpu.models.precond import bind
@@ -43,9 +48,59 @@ def main(dataset_name, model_path, solver, num_steps, batch, data_path, outdir):
     module, params, _src = create_model(dataset_name, model_path)
     den = bind(module, params)
     t_steps = get_schedule(num_steps, den.sigma_min, den.sigma_max)
-    lat = stacked_randn(jnp.arange(batch),
-                        (module.img_resolution, module.img_resolution,
-                         module.img_channels))
+    shape = (module.img_resolution, module.img_resolution,
+             module.img_channels)
+
+    if num_images is not None:
+        # ---- main_mp.ipynb-scale harness: sharded stat accumulation ------
+        from diff_sampler_tpu.ops.geometry import (trajectory_curvature,
+                                                   trajectory_deviation,
+                                                   trajectory_lengths)
+        from diff_sampler_tpu.parallel.mesh import (data_sharding, get_mesh,
+                                                    pad_to_multiple)
+
+        mesh = get_mesh()
+        ndev = len(mesh.devices.ravel())
+
+        @jax.jit
+        def batch_stats(lat):
+            out = get_sampler(solver)(den, lat, t_steps, return_inters=True)
+            xs, eps = out.xs, out.eps
+            deno = analysis.denoised_trajectory(xs, eps, t_steps)
+            return {
+                "magnitude": analysis.trajectory_magnitude(xs).sum(0),
+                "deviation": trajectory_deviation(xs).sum(0),
+                "segment_lengths": trajectory_lengths(xs).sum(0),
+                "direction_cosine": analysis.direction_cosines(xs).sum(0),
+                "curvature": trajectory_curvature(xs).sum(0),
+                "denoised_magnitude":
+                    analysis.trajectory_magnitude(deno).sum(0),
+            }
+
+        acc, total = None, 0
+        bsz = max(batch, ndev) // ndev * ndev
+        for start in range(0, num_images, bsz):
+            seeds = jnp.arange(start, min(start + bsz, num_images))
+            seeds = jnp.asarray(pad_to_multiple(np.asarray(seeds), ndev))
+            lat = stacked_randn(seeds, shape)
+            lat = jax.device_put(lat, data_sharding(mesh, lat.ndim))
+            stats = jax.device_get(batch_stats(lat))
+            n_real = int(min(start + bsz, num_images) - start)
+            # padded duplicate seeds contribute identical stats; rescale
+            scale = n_real / lat.shape[0]
+            scaled = {k: np.asarray(v, np.float64) * scale
+                      for k, v in stats.items()}
+            acc = (scaled if acc is None else
+                   {k: acc[k] + scaled[k] for k in scaled})
+            total += n_real
+        report = {k: np.asarray(v) / total for k, v in acc.items()}
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, "report.json"), "w") as f:
+            json.dump({k: v.tolist() for k, v in report.items()}, f, indent=2)
+        print(f"Wrote {outdir}/report.json ({total} images, {ndev} devices)")
+        return
+
+    lat = stacked_randn(jnp.arange(batch), shape)
     out = jax.jit(lambda l: get_sampler(solver)(den, l, t_steps,
                                                 return_inters=True))(lat)
 

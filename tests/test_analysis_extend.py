@@ -137,6 +137,28 @@ def test_straight_line_has_zero_curvature():
 
 
 @pytest.mark.slow
+def test_analyze_trajectories_sharded_stats_smoke(tmp_path):
+    """main_mp.ipynb-scale harness: sharded stat accumulation over a mesh."""
+    import subprocess
+    import sys
+    import os
+    import json
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    out = subprocess.run(
+        [sys.executable, "scripts/analyze_trajectories.py",
+         "--model_path=random", "--dataset_name=cifar10", "--num_steps=6",
+         "--batch=16", "--num_images=20", f"--outdir={tmp_path}"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads((tmp_path / "report.json").read_text())
+    assert "magnitude" in report and len(report["magnitude"]) == 6
+    assert "direction_cosine" in report
+
+
+@pytest.mark.slow
 def test_analyze_extend_script_smoke(tmp_path):
     import subprocess
     import sys
