@@ -2,12 +2,21 @@
 path, with an optional fused GroupNorm-apply + SiLU prologue.
 
 The 3x3 conv is where ~90% of the sampler's FLOPs are (SURVEY.md section 6;
-`networks_edm.py:158-166` in the reference).  XLA's conv reaches ~78% MXU on
-v5e at 32x32x256; this kernel computes the conv as 9 shifted
-[rows, Cin] @ [Cin, Cout] MXU matmuls accumulated in f32, entirely from
-VMEM, optionally fusing the preceding per-(sample,channel) affine + SiLU
-(the folded GroupNorm normalize pass) into the input load -- saving one full
-HBM round trip per block conv (see BENCH_NOTES.md round-2 notes).
+`networks_edm.py:158-166` in the reference).  This kernel computes the conv
+as 9 shifted [rows, Cin] @ [Cin, Cout] MXU matmuls accumulated in f32,
+entirely from VMEM, optionally fusing the preceding per-(sample,channel)
+affine + SiLU (the folded GroupNorm normalize pass) into the input load.
+
+MEASURED VERDICT (v5e, 256x32x32x256 bf16, delta-timed chained loops):
+
+    xla conv      1.938 ms (81.0% MXU)     pallas        2.185 ms (71.8%)
+    xla gn+conv   2.108 ms (74.5%)         pallas fused  2.364 ms (66.4%)
+
+XLA's conv wins: the padded-scratch write + 9 strided slice reads cost more
+than the one HBM round trip the fusion saves (XLA already folds the
+elementwise prologue nearly for free -- 0.17 ms, about the bandwidth bound).
+Like ops/pallas_groupnorm.py, this stays as a correct, tested, opt-in
+experiment rather than the default path; the model keeps lax.conv.
 
 Numerics: accumulation in f32 (same as XLA's conv), inputs bf16 or f32.
 Gate with `supported(...)`; callers fall back to lax.conv otherwise.
@@ -30,13 +39,15 @@ def supported(n, h, w, cin, cout, bn=None) -> bool:
     image-block size."""
     if cin % 128 or cout % 128:
         return False
-    bn = bn or _block_images(h, w)
-    return n % bn == 0
+    return n >= 1
 
 
-def _block_images(h, w):
-    """Images per program: target ~2048 matmul rows per shift."""
-    return max(1, 2048 // (h * w))
+def _block_images(n, h, w):
+    """Images per program: target ~2048 matmul rows per shift, divide n."""
+    bn = max(1, min(n, 2048 // (h * w)))
+    while n % bn:
+        bn -= 1
+    return bn
 
 
 def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, zp_ref, acc_ref, *,
@@ -46,8 +57,8 @@ def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, zp_ref, acc_ref, *,
     x = x_ref[...]
     if fuse_affine:
         xf = x.astype(jnp.float32)
-        a = a_ref[...][:, None, None, :]
-        b = b_ref[...][:, None, None, :]
+        a = a_ref[...][:, :, None, :]  # [bn,1,c] -> [bn,1,1,c]
+        b = b_ref[...][:, :, None, :]
         z = jax.nn.silu(xf * a + b)
         x = z.astype(zp_ref.dtype)
     zp_ref[:, 1:h + 1, 1:wd + 1, :] = x
@@ -71,7 +82,7 @@ def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, zp_ref, acc_ref, *,
 def _conv_call(x, a, b, w, bias, fuse_affine, interpret=False):
     n, h, wd, cin = x.shape
     cout = w.shape[-1]
-    bn = _block_images(h, wd)
+    bn = _block_images(n, h, wd)
     grid = (n // bn,)
     kern = functools.partial(
         _kernel, bn=bn, h=h, wd=wd, cin=cin, cout=cout,
@@ -81,8 +92,8 @@ def _conv_call(x, a, b, w, bias, fuse_affine, interpret=False):
         grid=grid,
         in_specs=[
             pl.BlockSpec((bn, h, wd, cin), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bn, cin), lambda i: (i, 0)),
-            pl.BlockSpec((bn, cin), lambda i: (i, 0)),
+            pl.BlockSpec((bn, 1, cin), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bn, 1, cin), lambda i: (i, 0, 0)),
             pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0)),
             pl.BlockSpec((cout,), lambda i: (0,)),
         ],
@@ -93,7 +104,7 @@ def _conv_call(x, a, b, w, bias, fuse_affine, interpret=False):
             pltpu.VMEM((bn * h * wd, cout), jnp.float32),
         ],
         interpret=interpret,
-    )(x, a, b, w, bias)
+    )(x, a.reshape(n, 1, cin), b.reshape(n, 1, cin), w, bias)
 
 
 def conv3x3(x, w, bias=None, *, interpret=False):
