@@ -30,12 +30,17 @@ __all__ = ["flash_attention", "sdpa"]
 _NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len):
-    """One (bh, q_tile) program: online softmax over K tiles."""
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len,
+                 kv_len):
+    """One (bh, q_tile) program: online softmax over K tiles.
+
+    kv_len is the zero-padded key count; key positions >= seq_len are masked
+    to -inf so ragged sequence lengths stay exact."""
     q = q_ref[0].astype(jnp.float32) * scale  # [bq, d]
     bq = q.shape[0]
     d = q.shape[1]
-    num_k = seq_len // block_k
+    num_k = kv_len // block_k
+    masked = kv_len != seq_len
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
@@ -44,6 +49,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len):
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [bq, bk]
+        if masked:
+            col = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < seq_len, logits, _NEG_INF)
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(logits - m_new)
@@ -80,36 +89,30 @@ def _flash_fwd(q, k, v, scale, block_q=256, block_k=256, interpret=False):
     k, _ = _pad_to(k, 2, 128)
     v, _ = _pad_to(v, 2, 128)
     dp = q.shape[2]
-    block_q = min(block_q, t)
-    block_k = min(block_k, t)
-    # pad T so both tile sizes divide it (mask via -inf is unnecessary when
-    # padding K with zeros AND tracking max from real entries; to stay exact
-    # we require divisibility instead and pad q rows only)
-    tq = ((t + block_q - 1) // block_q) * block_q
-    tk = ((t + block_k - 1) // block_k) * block_k
-    if tk != t:
-        # pad keys with -inf logits: zero keys give logit 0 which would leak
-        # weight; instead pad k with zeros and v with zeros, then correct by
-        # masking: simplest exact route is to fall back to jnp for ragged T.
-        raise ValueError(f"sequence length {t} must be divisible by block_k")
-    if tq != t:
-        raise ValueError(f"sequence length {t} must be divisible by block_q")
+    block_q = min(block_q, ((t + 127) // 128) * 128)
+    block_k = min(block_k, ((t + 127) // 128) * 128)
+    # ragged T: zero-pad q rows (garbage rows sliced off below) and k/v keys
+    # (masked to -inf inside the kernel via their global column index)
+    q, _ = _pad_to(q, 1, block_q)
+    k, _ = _pad_to(k, 1, block_k)
+    v, _ = _pad_to(v, 1, block_k)
+    tq, tk = q.shape[1], k.shape[1]
 
-    grid = (b, t // block_q)
+    grid = (b, tq // block_q)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, block_k=block_k,
-                          seq_len=t),
+                          seq_len=t, kv_len=tk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dp), lambda bi, qi: (bi, qi, 0)),
-            pl.BlockSpec((1, t, dp), lambda bi, qi: (bi, 0, 0)),
-            pl.BlockSpec((1, t, dp), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, tk, dp), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, tk, dp), lambda bi, qi: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, dp), lambda bi, qi: (bi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t, dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, tq, dp), q.dtype),
         interpret=interpret,
     )(q, k, v)
-    return out[:, :, :d]
+    return out[:, :t, :d]
 
 
 def _reference_sdpa(q, k, v, scale):
@@ -123,8 +126,8 @@ def _reference_sdpa(q, k, v, scale):
 def flash_attention(q, k, v, scale, interpret=False):
     """Fused attention: softmax(q k^T * scale) v, fp32 softmax.
 
-    q, k, v: [B, T, d] (B folds batch*heads).  T must be divisible by the
-    256 tile size (use sdpa() for automatic dispatch)."""
+    q, k, v: [B, T, d] (B folds batch*heads).  Any T: ragged lengths are
+    zero-padded and masked in-kernel (use sdpa() for automatic dispatch)."""
     return _flash_fwd(q, k, v, scale, interpret=interpret)
 
 
@@ -155,7 +158,7 @@ def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     on_tpu = jax.default_backend() == "tpu"
-    use_flash = force_flash or (on_tpu and t >= min_flash_tokens and t % 256 == 0)
+    use_flash = force_flash or (on_tpu and t >= min_flash_tokens)
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, t, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, t, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)

@@ -59,3 +59,18 @@ def test_flash_bf16():
     ref = _reference_sdpa(q, k, v, s).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("t,d", [(300, 64), (1000, 128), (130, 64), (257, 80)])
+def test_flash_ragged_lengths(t, d):
+    """Ragged T: zero-padded keys masked to -inf in-kernel stay exact."""
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(2, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, t, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, t, d).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+    ours = flash_attention(q, k, v, float(scale), True)  # interpret mode
+    ref = _reference_sdpa(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    assert not np.isnan(np.asarray(ours)).any()
