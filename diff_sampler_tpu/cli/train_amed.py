@@ -50,6 +50,9 @@ from ..utils.rng import stacked_randn
 @click.option("--predict_x0", type=bool, default=True)
 @click.option("--lower_order_final", type=bool, default=True)
 @click.option("--batch", type=click.IntRange(min=1), default=512)
+@click.option("--batch_gpu", type=click.IntRange(min=1), default=None,
+              help="Microbatch for gradient accumulation (reference "
+                   "--batch-gpu); a 16GB v5e fits 256 directly")
 @click.option("--lr", type=float, default=5e-3)
 @click.option("--desc", type=str, default=None)
 @click.option("--tick", type=click.IntRange(min=1), default=1)
@@ -58,7 +61,7 @@ from ..utils.rng import stacked_randn
 def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
          num_steps, sampler_stu, sampler_tea, M, schedule_type, schedule_rho,
          afs, scale_dir, scale_time, max_order, predict_x0, lower_order_final,
-         batch, lr, desc, tick, seed, dry_run):
+         batch, batch_gpu, lr, desc, tick, seed, dry_run):
     import jax
     import optax
 
@@ -68,7 +71,7 @@ def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
                      afs=afs, scale_dir=scale_dir, scale_time=scale_time,
                      max_order=max_order, predict_x0=predict_x0,
                      lower_order_final=lower_order_final, lr=lr,
-                     total_kimg=total_kimg, batch=batch,
+                     total_kimg=total_kimg, batch=batch, batch_gpu=batch_gpu,
                      guidance_rate=guidance_rate)
     if dry_run:
         print0("Training options:")

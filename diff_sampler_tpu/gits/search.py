@@ -184,14 +184,40 @@ def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
 
     if cfg.afs:
         # AFS insertion search on the last warmup batch (gits_utils.py:157-179).
-        stu = get_sampler(cfg.solver)
+        # All candidates share one compile: for the LMS family the schedule
+        # and its host-precomputed coefficient stack enter the jit as traced
+        # arguments (candidate shapes are identical).
+        from ..ops import multistep
+        from ..solvers.samplers import _lms_sample
+
+        lms_coeffs = {
+            "euler": lambda t: multistep.euler_coeffs(t),
+            "ipndm": lambda t: multistep.ipndm_coeffs(t, cfg.max_order),
+            "ipndm_v": lambda t: multistep.ipndm_v_coeffs(t, cfg.max_order),
+            "deis": lambda t: multistep.deis_coeffs(t, cfg.max_order),
+        }
         teacher_terminal = jnp.asarray(terminal_states[-1])
         best = np.inf
+
+        if cfg.solver in lms_coeffs:
+            run = jax.jit(lambda lat, t, C: _lms_sample(
+                denoise, lat, t, C, afs=True).x)
+
+            def student_out(t_cand):
+                C = np.asarray(lms_coeffs[cfg.solver](t_cand))
+                return run(latents_last, jnp.asarray(t_cand), jnp.asarray(C))
+        else:
+            stu = get_sampler(cfg.solver)
+
+            def student_out(t_cand):
+                return jax.jit(lambda lat, t=t_cand: stu(
+                    denoise, lat, t, afs=True,
+                    max_order=cfg.max_order).x)(latents_last)
+
         for k in range(1, phi[1]):
             cand = phi[:1] + [k] + phi[1:]
             t_cand = t_full[np.asarray(cand)]
-            out = jax.jit(lambda lat, t=t_cand: stu(
-                denoise, lat, t, afs=True, max_order=cfg.max_order).x)(latents_last)
+            out = student_out(t_cand)
             d = float(jnp.linalg.norm(
                 (out - teacher_terminal).reshape(out.shape[0], -1), axis=-1).mean())
             if d < best:

@@ -91,7 +91,9 @@ def _eps_from(denoise: Denoiser, x, t, afs_flag):
 
 
 def _prepare(latents, t_steps, dtype):
-    t = jnp.asarray(np.asarray(t_steps), dtype=dtype)
+    # accepts host arrays/lists AND traced jax arrays (the GITS AFS search
+    # passes t_steps as a jit argument so all candidates share one compile)
+    t = jnp.asarray(t_steps, dtype=dtype)
     x = latents.astype(dtype) * t[0]
     return x, t
 

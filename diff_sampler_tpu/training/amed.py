@@ -61,6 +61,10 @@ class AMEDConfig:
     lr: float = 5e-3
     total_kimg: int = 10
     batch: int = 512
+    # microbatch size for gradient accumulation (the reference's --batch-gpu,
+    # amed train.py:43 + ddp_sync rounds, training_loop.py:197-205); None =
+    # no accumulation.  A 16GB v5e fits batch 256 directly; 512 needs 2x.
+    batch_gpu: Optional[int] = None
 
 
 def predictor_from_config(cfg: AMEDConfig, bottleneck_dim: int = 64) -> AMEDPredictor:
@@ -103,14 +107,23 @@ def make_amed_train_step(predictor: AMEDPredictor, denoise_b, cfg: AMEDConfig,
 
     def train_step(pred_params, opt_state, latents, labels=None):
         den = denoise_factory(labels) if denoise_factory is not None else denoise_b
-        tea = jax.lax.stop_gradient(teacher_traj(den, latents))
-        x = latents * jnp.float32(t_steps[0])
-        buffers = ([], [])
+        batch = latents.shape[0]
+        mb = cfg.batch_gpu or batch
+        if batch % mb:
+            raise ValueError(f"batch {batch} not divisible by batch_gpu {mb}")
+        n_acc = batch // mb
+        # per-microbatch teacher trajectories + states (accumulation rounds,
+        # amed training_loop.py:197-205: grads summed over rounds, ONE Adam
+        # step per trajectory segment)
+        chunks = [latents[a * mb:(a + 1) * mb] for a in range(n_acc)]
+        teas = [jax.lax.stop_gradient(teacher_traj(den, c)) for c in chunks]
+        xs = [c * jnp.float32(t_steps[0]) for c in chunks]
+        buffers = [([], []) for _ in range(n_acc)]
         losses = []
         for step_idx in range(cfg.num_steps - 1):
             seg_t = t_steps[step_idx : step_idx + 2]
 
-            def seg_loss(pp, x_in, bufs):
+            def seg_loss(pp, x_in, tea_target, bufs):
                 def pred_apply(b, tc, tn):
                     return predictor.apply({"params": pp}, b, tc, tn)
 
@@ -121,18 +134,27 @@ def make_amed_train_step(predictor: AMEDPredictor, denoise_b, cfg: AMEDConfig,
                     lower_order_final=cfg.lower_order_final,
                     buffer_in=bufs[0], buffer_t_in=bufs[1], train=True,
                     step_idx=step_idx, total_num_steps=cfg.num_steps)
-                loss = ((res.x - tea[step_idx]) ** 2).sum() / x_in.shape[0]
+                loss = ((res.x - tea_target) ** 2).sum() / x_in.shape[0]
                 return loss, (res.x, bufs_out)
 
-            (loss, (stu, buffers)), grads = jax.value_and_grad(
-                seg_loss, has_aux=True)(pred_params, x, buffers)
+            grads = None
+            step_loss = 0.0
+            for a in range(n_acc):
+                (loss, (stu, bufs_a)), g = jax.value_and_grad(
+                    seg_loss, has_aux=True)(pred_params, xs[a],
+                                            teas[a][step_idx], buffers[a])
+                grads = g if grads is None else jax.tree.map(
+                    jnp.add, grads, g)
+                buffers[a] = bufs_a
+                step_loss = step_loss + loss / n_acc
+                xs[a] = (teas[a][step_idx] if single_step_stu
+                         else jax.lax.stop_gradient(stu))
             grads = jax.tree.map(
-                lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5),
-                grads)
+                lambda g: jnp.nan_to_num(g / n_acc, nan=0.0, posinf=1e5,
+                                         neginf=-1e5), grads)
             updates, opt_state = optimizer.update(grads, opt_state, pred_params)
             pred_params = optax.apply_updates(pred_params, updates)
-            losses.append(loss)
-            x = tea[step_idx] if single_step_stu else jax.lax.stop_gradient(stu)
+            losses.append(step_loss)
         losses = jnp.stack(losses)
         return pred_params, opt_state, {"loss_per_step": losses,
                                         "loss": losses.mean()}

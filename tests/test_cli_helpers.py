@@ -73,3 +73,26 @@ def test_predictor_config_roundtrip(tmp_path):
     assert restored.num_steps == 5
     assert restored.sampler_stu == "ipndm"
     assert restored.scale_dir == 0.02
+
+
+def test_prdc_cli_smoke(tmp_path):
+    """prdc calc end-to-end with a random detector (--smoke)."""
+    import numpy as np
+    import PIL.Image
+    from click.testing import CliRunner
+
+    from diff_sampler_tpu.cli.prdc import main as prdc_main
+
+    rng = np.random.RandomState(0)
+    for sub in ("gen", "ref"):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(8):
+            arr = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+            PIL.Image.fromarray(arr).save(d / f"{i:03d}.png")
+    r = CliRunner().invoke(prdc_main, [
+        "calc", f"--images={tmp_path/'gen'}", f"--images_ref={tmp_path/'ref'}",
+        "--num=8", "--nearest_k=2", "--batch=4", "--smoke", "--realism"])
+    assert r.exit_code == 0, r.output
+    assert "precision" in r.output and "coverage" in r.output
+    assert "realism_mean" in r.output

@@ -164,3 +164,19 @@ def test_clip_score_math():
     imgs = np.zeros((2, 4, 4, 3), np.uint8)
     assert abs(clip_score(img_fn, txt_same, [(imgs, ["a", "b"])]) - 100.0) < 1e-5
     assert abs(clip_score(img_fn, txt_orth, [(imgs, ["a", "b"])])) < 1e-5
+
+
+@pytest.mark.slow
+def test_hf_clip_encoders_if_available():
+    """Gated hook for the reference's real OpenCLIP ViT-g-14 scoring path
+    (`diff-solvers-main/clip_score.py:59`): runs only when the HF checkpoint
+    is cached/downloadable (the offline env cannot fetch it)."""
+    from diff_sampler_tpu.eval.clip_score import make_hf_clip_encoders
+
+    try:
+        img_fn, txt_fn = make_hf_clip_encoders()
+    except RuntimeError as e:
+        pytest.skip(f"CLIP checkpoint unavailable: {e}")
+    imgs = np.random.RandomState(0).randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    score = clip_score(img_fn, txt_fn, [(imgs, ["a photo", "a drawing"])])
+    assert np.isfinite(score)
