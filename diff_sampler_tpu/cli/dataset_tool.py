@@ -128,14 +128,62 @@ def _iter_zip(path):
             yield img, labels.get(n)
 
 
+def _make_transform(transform, res):
+    """Crop/resize modes (dataset_tool.py make_transform :203-253).  Returns
+    `img -> img | None`; None means "skip this image" (center-crop-wide on
+    too-small inputs)."""
+    import PIL.Image
+
+    w, h = res if res is not None else (None, None)
+
+    def to_rgb(a):
+        return a[:, :, None].repeat(3, axis=2) if a.ndim == 2 else a
+
+    def resize(a, ww, hh):
+        return np.array(PIL.Image.fromarray(a).resize(
+            (ww, hh), PIL.Image.Resampling.LANCZOS))
+
+    def scale(a):
+        if w is None or (a.shape[1] == w and a.shape[0] == h):
+            return a
+        return resize(a, w, h)
+
+    def center_crop(a):
+        crop = min(a.shape[:2])
+        y0, x0 = (a.shape[0] - crop) // 2, (a.shape[1] - crop) // 2
+        return resize(to_rgb(a[y0:y0 + crop, x0:x0 + crop]), w, h)
+
+    def center_crop_wide(a):
+        band = int(np.round(w * a.shape[0] / a.shape[1]))
+        if a.shape[1] < w or band < h:
+            return None  # too small: the reference skips it
+        y0 = (a.shape[0] - band) // 2
+        a = resize(to_rgb(a[y0:y0 + band]), w, h)
+        canvas = np.zeros((w, w, 3), np.uint8)
+        canvas[(w - h) // 2:(w + h) // 2] = a
+        return canvas
+
+    if transform is None:
+        return scale
+    if res is None:
+        raise click.ClickException(
+            f"--transform={transform} requires --resolution=WxH")
+    return {"center-crop": center_crop,
+            "center-crop-wide": center_crop_wide}[transform]
+
+
 @click.command()
 @click.option("--source", type=str, required=True,
               help="folder | .zip | cifar-10-python.tar.gz | "
                    "*-images-idx3-ubyte.gz (MNIST) | *_lmdb dir (LSUN) | .npz")
 @click.option("--dest", type=str, required=True, help="output .zip")
-@click.option("--resolution", type=int, default=None)
+@click.option("--resolution", type=str, default=None,
+              help="output size: 256 or WxH e.g. 512x384")
 @click.option("--max-images", type=int, default=None)
-def main(source, dest, resolution, max_images):
+@click.option("--transform",
+              type=click.Choice(["center-crop", "center-crop-wide"]),
+              default=None, help="Input crop/resize mode")
+def main(source, dest, resolution, max_images, transform):
     import PIL.Image
 
     if os.path.isdir(source):
@@ -156,6 +204,14 @@ def main(source, dest, resolution, max_images):
     else:
         raise click.ClickException(f"unsupported source: {source}")
 
+    if resolution is not None:
+        parts = resolution.lower().split("x")
+        res = ((int(parts[0]), int(parts[1])) if len(parts) == 2
+               else (int(parts[0]), int(parts[0])))
+    else:
+        res = None
+    tfm = _make_transform(transform, res)
+
     os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
     labels = []
     with zipfile.ZipFile(dest, "w", zipfile.ZIP_STORED) as zf:
@@ -163,10 +219,9 @@ def main(source, dest, resolution, max_images):
         for img, label in it:
             if max_images is not None and count >= max_images:
                 break
-            if resolution and img.shape[0] != resolution:
-                pim = PIL.Image.fromarray(img).resize(
-                    (resolution, resolution), PIL.Image.LANCZOS)
-                img = np.array(pim)
+            img = tfm(img)
+            if img is None:
+                continue
             fname = f"{count // 1000:05d}/img{count:08d}.png"
             buf = io.BytesIO()
             PIL.Image.fromarray(img).save(buf, format="png", compress_level=0,

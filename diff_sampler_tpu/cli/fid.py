@@ -78,15 +78,18 @@ def main():
 @click.option("--smoke", is_flag=True,
               help="Allow a random-init detector (pipeline smoke only; the "
                    "result is labeled and is NOT an FID)")
+@click.option("--seed", type=int, default=0,
+              help="Random seed for selecting the images (fid.py:118)")
 def calc(image_path, ref_path, num_expected, batch, inception, strict_count,
-         smoke):
-    ds_len = len(ImageFolderDataset(image_path, max_size=num_expected))
+         smoke, seed):
+    ds_len = len(ImageFolderDataset(image_path, max_size=num_expected,
+                                    random_seed=seed))
     if strict_count and ds_len not in (10000, 30000, 50000):
         raise click.ClickException(
             f"{ds_len} images found; expected 10k/30k/50k (use --no-strict-count)")
     (mu, sigma), is_random = _stats_for_path(
         image_path, num_expected if strict_count else None, batch, inception,
-        allow_random=smoke)
+        seed=seed, allow_random=smoke)
     mu_ref, sigma_ref = load_stats(ref_path)
     fid = compute_fid(mu, sigma, mu_ref, sigma_ref)
     if is_random:

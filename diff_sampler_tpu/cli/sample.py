@@ -86,11 +86,18 @@ def _resolve_snapshot(path_or_exp, outdir_base="./exps"):
 @click.option("--num_steps", type=int, default=6)
 @click.option("--afs", type=bool, default=False)
 @click.option("--denoise_to_zero", type=bool, default=False)
+@click.option("--return_inters", type=bool, default=False,
+              help="Save the whole sampling trajectory (sample.py:140): grid "
+                   "mode renders every point, otherwise trajectory.npz")
 # SCHEDULE_FLAGS
 @click.option("--schedule_type", type=click.Choice(["polynomial", "logsnr",
                                                     "time_uniform", "discrete"]),
               default="polynomial")
 @click.option("--schedule_rho", type=float, default=7.0)
+@click.option("--sigma_min", type=float, default=None,
+              help="Lowest noise level [default: the model's]")
+@click.option("--sigma_max", type=float, default=None,
+              help="Highest noise level [default: the model's]")
 @click.option("--t_steps", type=str, default=None,
               help="Explicit sigma list, e.g. '[80.0, 10.0, 1.0, 0.002]'")
 # ADDITIONAL_FLAGS
@@ -115,10 +122,10 @@ def _resolve_snapshot(path_or_exp, outdir_base="./exps"):
 @click.option("--solver_tea", type=str, default="ipndm")
 def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
          outdir, subdirs, bf16, solver, num_steps, afs, denoise_to_zero,
-         schedule_type, schedule_rho, t_steps, max_order, predict_x0,
-         lower_order_final, variant, deis_mode, r, skip_tuning, guidance_type,
-         guidance_rate, prompt, dp, metric, coeff, num_warmup, num_steps_tea,
-         solver_tea):
+         return_inters, schedule_type, schedule_rho, sigma_min, sigma_max,
+         t_steps, max_order, predict_x0, lower_order_final, variant, deis_mode,
+         r, skip_tuning, guidance_type, guidance_rate, prompt, dp, metric,
+         coeff, num_warmup, num_steps_tea, solver_tea):
     import jax
     import jax.numpy as jnp
 
@@ -208,7 +215,8 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
                        max_order=max_order, predict_x0=predict_x0,
                        lower_order_final=lower_order_final, variant=variant,
                        deis_mode=deis_mode, r=r, t_steps=explicit_t,
-                       dp_list=tuple(dp_list) if dp_list else None)
+                       dp_list=tuple(dp_list) if dp_list else None,
+                       sigma_min=sigma_min, sigma_max=sigma_max)
     print0(f"Solver: {solver} | NFE: {cfg.nfe()} | "
            f"schedule: {schedule_type}(rho={schedule_rho}) | source: {model_source}")
 
@@ -246,14 +254,29 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
 
             cfg = _dc.replace(cfg, schedule_type="discrete", schedule_rho=1.0)
     images = generate(den, seeds, shape, cfg, mesh=mesh,
-                      max_batch_size=max_batch_size, **cond_kw, **sched_kw)
+                      max_batch_size=max_batch_size,
+                      return_inters=return_inters, **cond_kw, **sched_kw)
+    out_base = outdir or f"samples/{dataset_name}-{solver}-{num_steps}"
+    if return_inters:
+        # trajectory [num_points, N, ...]: grid mode renders every point
+        # (the reference's save path over the stacked inters); otherwise
+        # dump the raw trajectory
+        if grid:
+            _save(images.reshape((-1,) + images.shape[2:]),
+                  range(images.shape[0] * images.shape[1]), out_base,
+                  grid=True, subdirs=False)
+        else:
+            os.makedirs(out_base, exist_ok=True)
+            np.savez(os.path.join(out_base, "trajectory.npz"), xs=images)
+            print0(f"Saved trajectory {images.shape} to "
+                   f"{out_base}/trajectory.npz")
+        return
     if model_source in ("ldm", "sd"):
         dec = jax.jit(module.latent_diffusion.decode_first_stage)
         images = np.concatenate(
             [np.asarray(dec(jnp.asarray(images[i:i + 16])), np.float32)
              for i in range(0, len(images), 16)])
-    _save(images, seeds, outdir or f"samples/{dataset_name}-{solver}-{num_steps}",
-          grid, subdirs)
+    _save(images, seeds, out_base, grid, subdirs)
 
 
 def _amed_sample(module, params, den, predictor, seeds, shape, max_batch_size,

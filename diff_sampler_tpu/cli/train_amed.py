@@ -40,7 +40,7 @@ from ..utils.rng import stacked_randn
                                                   "dpm", "dpmpp"]), default="amed")
 @click.option("--sampler_tea", type=click.Choice(["heun", "dpm", "dpmpp",
                                                   "euler", "ipndm"]), default="heun")
-@click.option("--m", "M", type=click.IntRange(min=0), default=1)
+@click.option("--m", "--M", "M", type=click.IntRange(min=0), default=1)
 @click.option("--schedule_type", type=str, default="polynomial")
 @click.option("--schedule_rho", type=float, default=7.0)
 @click.option("--afs", type=bool, default=False)

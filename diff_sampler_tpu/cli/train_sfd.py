@@ -35,7 +35,7 @@ from ..utils.rng import stacked_randn
 @click.option("--num_steps", type=click.IntRange(min=2), default=4)
 @click.option("--sampler_tea", type=click.Choice(["dpm", "dpmpp", "euler",
                                                   "ipndm", "heun"]), default="dpmpp")
-@click.option("--m", "M", type=click.IntRange(min=0), default=3)
+@click.option("--m", "--M", "M", type=click.IntRange(min=0), default=3)
 @click.option("--schedule_type", type=str, default="polynomial")
 @click.option("--schedule_rho", type=float, default=7.0)
 @click.option("--afs", type=bool, default=True)

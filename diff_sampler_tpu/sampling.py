@@ -14,6 +14,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .ops import get_schedule
 from .parallel import mesh as pm
@@ -42,11 +43,18 @@ class SolverConfig:
     r: float = 0.5
     t_steps: Optional[Tuple[float, ...]] = None  # explicit sigma schedule
     dp_list: Optional[Tuple[int, ...]] = None  # GITS schedule sub-selection
+    # --sigma_min/--sigma_max overrides (sample.py:153-154); None = use the
+    # model's own range (the reference overwrites the flags with net attrs,
+    # sample.py:196-197, so these only matter for nets without a range)
+    sigma_min: Optional[float] = None
+    sigma_max: Optional[float] = None
 
     def resolve_t_steps(self, sigma_min: float, sigma_max: float,
                         sigma_fn=None, sigma_inv_fn=None) -> np.ndarray:
         if self.t_steps is not None:
             return np.asarray(self.t_steps, dtype=np.float64)
+        sigma_min = self.sigma_min if self.sigma_min is not None else sigma_min
+        sigma_max = self.sigma_max if self.sigma_max is not None else sigma_max
         return get_schedule(
             self.num_steps, sigma_min, sigma_max, self.schedule_type,
             self.schedule_rho, sigma_fn=sigma_fn, sigma_inv_fn=sigma_inv_fn,
@@ -88,7 +96,8 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
              sigma_fn=None, sigma_inv_fn=None, dtype=jnp.float32,
              label_dim: int = 0, label_kind: str = "onehot",
              denoise_with_labels=None, class_idx=None,
-             per_seed_cond: Optional[np.ndarray] = None) -> np.ndarray:
+             per_seed_cond: Optional[np.ndarray] = None,
+             return_inters: bool = False) -> np.ndarray:
     """Generate len(seeds) samples, data-parallel over the mesh.
 
     sample_shape: per-sample shape, e.g. (32, 32, 3) NHWC.
@@ -99,7 +108,10 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
     `sample.py:276-281`), one-hot for EDM or integer for ADM
     (label_kind='int').  `class_idx` pins a single class.
 
-    Returns a float32 numpy array [len(seeds), *sample_shape].
+    Returns a float32 numpy array [len(seeds), *sample_shape]; with
+    `return_inters=True`, [num_points, len(seeds), *sample_shape] — the full
+    trajectory including x_T and the final sample (`--return_inters`,
+    sample.py:140).
     """
     if mesh is None:
         mesh = pm.get_mesh()
@@ -117,29 +129,42 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
     conditional = denoise_with_labels is not None and (
         label_dim > 0 or per_seed_cond is not None)
     sharding = pm.data_sharding(mesh, 1 + len(sample_shape))
+    # trajectory output carries a leading time axis; batch is axis 1
+    out_sharding = (NamedSharding(mesh, P(None, "data"))
+                    if return_inters else sharding)
     if per_seed_cond is not None:
         lab_sharding = pm.data_sharding(mesh, per_seed_cond.ndim)
     else:
         lab_sharding = pm.data_sharding(mesh, 2 if label_kind == "onehot" else 1)
+
+    def _post(out):
+        return out.xs if return_inters else out
 
     if conditional:
         def jbody(lat, labels):
             den = type(denoise)(
                 fn=lambda x, t: denoise_with_labels(x, t, labels),
                 sigma_min=denoise.sigma_min, sigma_max=denoise.sigma_max)
-            return build_sample_fn(den, cfg, sigma_fn=sigma_fn,
-                                   sigma_inv_fn=sigma_inv_fn, dtype=dtype)(lat)
+            return _post(build_sample_fn(
+                den, cfg, sigma_fn=sigma_fn, sigma_inv_fn=sigma_inv_fn,
+                return_inters=return_inters, dtype=dtype)(lat))
 
         jfn = jax.jit(jbody, in_shardings=(sharding, lab_sharding),
-                      out_shardings=sharding)
+                      out_shardings=out_sharding)
     else:
         fn = build_sample_fn(denoise, cfg, sigma_fn=sigma_fn,
-                             sigma_inv_fn=sigma_inv_fn, dtype=dtype)
-        jfn = jax.jit(fn, in_shardings=sharding, out_shardings=sharding)
+                             sigma_inv_fn=sigma_inv_fn,
+                             return_inters=return_inters, dtype=dtype)
+        jfn = jax.jit(lambda lat: _post(fn(lat)), in_shardings=sharding,
+                      out_shardings=out_sharding)
 
     batch = min(max_batch_size * n_dev, pm.pad_to_multiple(n, n_dev))
     batch = pm.pad_to_multiple(batch, n_dev)
-    out = np.empty((n,) + tuple(sample_shape), dtype=np.float32)
+    num_points = (len(cfg.t_steps) + (1 if cfg.denoise_to_zero else 0)
+                  if return_inters else 0)
+    out = (np.empty((num_points, n) + tuple(sample_shape), dtype=np.float32)
+           if return_inters else
+           np.empty((n,) + tuple(sample_shape), dtype=np.float32))
     for start in range(0, n, batch):
         chunk = seeds[start : start + batch]
         pad = batch - len(chunk)
@@ -167,7 +192,10 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
             x = np.asarray(jfn(latents, labels), dtype=np.float32)
         else:
             x = np.asarray(jfn(latents), dtype=np.float32)
-        out[start : start + len(chunk)] = x[: len(chunk)]
+        if return_inters:
+            out[:, start : start + len(chunk)] = x[:, : len(chunk)]
+        else:
+            out[start : start + len(chunk)] = x[: len(chunk)]
     return out
 
 

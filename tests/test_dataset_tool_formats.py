@@ -226,3 +226,42 @@ def test_dataset_tool_zip_input(tmp_path):
     with zipfile.ZipFile(dest) as z:
         manifest = json.loads(z.read("dataset.json"))["labels"]
     assert [l for _f, l in manifest] == [0, 1]
+
+
+def test_dataset_tool_transforms(tmp_path):
+    """--transform center-crop / center-crop-wide + WxH resolutions
+    (dataset_tool.py make_transform :203-253)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.RandomState(3)
+    # rectangular inputs: crop modes must handle both orientations
+    for i, (h, w) in enumerate([(48, 64), (64, 48), (40, 40)]):
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        PIL.Image.fromarray(arr).save(src / f"{i}.png")
+
+    out = tmp_path / "cc.zip"
+    r = CliRunner().invoke(dt_main, ["--source", str(src), "--dest", str(out),
+                                     "--resolution", "32", "--transform",
+                                     "center-crop"])
+    assert r.exit_code == 0, r.output
+    ds = ImageFolderDataset(str(out))
+    assert len(ds) == 3 and ds[0][0].shape == (32, 32, 3)
+
+    # center-crop-wide pads onto a WxW canvas and SKIPS too-small images
+    out2 = tmp_path / "ccw.zip"
+    r = CliRunner().invoke(dt_main, ["--source", str(src), "--dest", str(out2),
+                                     "--resolution", "48x32", "--transform",
+                                     "center-crop-wide"])
+    assert r.exit_code == 0, r.output
+    ds2 = ImageFolderDataset(str(out2))
+    # (64,48) input: band=round(48*64/48)=64 >= 32 ok; (40,40): 48>40 -> skip
+    assert len(ds2) == 2
+    img = ds2[0][0]  # HWC
+    assert img.shape == (48, 48, 3)
+    assert img[:8].max() == 0 and img[-8:].max() == 0  # letterbox rows
+
+    # --transform without --resolution is an error
+    r = CliRunner().invoke(dt_main, ["--source", str(src), "--dest",
+                                     str(tmp_path / "x.zip"), "--transform",
+                                     "center-crop"])
+    assert r.exit_code != 0
