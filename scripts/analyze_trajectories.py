@@ -63,35 +63,43 @@ def main(dataset_name, model_path, solver, num_steps, batch, data_path,
         ndev = len(mesh.devices.ravel())
 
         @jax.jit
-        def batch_stats(lat):
+        def batch_stats(lat, w):
+            # w: [B] 1/0 mask -- padded rows (ragged final chunk repeated to
+            # a device multiple) contribute exactly zero
             out = get_sampler(solver)(den, lat, t_steps, return_inters=True)
             xs, eps = out.xs, out.eps
             deno = analysis.denoised_trajectory(xs, eps, t_steps)
+
+            def wsum(s):  # s: [B, ...] per-sample stats
+                return (s * w.reshape((-1,) + (1,) * (s.ndim - 1))).sum(0)
+
             return {
-                "magnitude": analysis.trajectory_magnitude(xs).sum(0),
-                "deviation": trajectory_deviation(xs).sum(0),
-                "segment_lengths": trajectory_lengths(xs).sum(0),
-                "direction_cosine": analysis.direction_cosines(xs).sum(0),
-                "curvature": trajectory_curvature(xs).sum(0),
+                "magnitude": wsum(analysis.trajectory_magnitude(xs)),
+                "deviation": wsum(trajectory_deviation(xs)),
+                "segment_lengths": wsum(trajectory_lengths(xs)),
+                "direction_cosine": wsum(analysis.direction_cosines(xs)),
+                "curvature": wsum(trajectory_curvature(xs)),
                 "denoised_magnitude":
-                    analysis.trajectory_magnitude(deno).sum(0),
+                    wsum(analysis.trajectory_magnitude(deno)),
             }
 
         acc, total = None, 0
         bsz = max(batch, ndev) // ndev * ndev
         for start in range(0, num_images, bsz):
-            seeds = jnp.arange(start, min(start + bsz, num_images))
-            seeds = jnp.asarray(pad_to_multiple(np.asarray(seeds), ndev))
-            lat = stacked_randn(seeds, shape)
-            lat = jax.device_put(lat, data_sharding(mesh, lat.ndim))
-            stats = jax.device_get(batch_stats(lat))
-            n_real = int(min(start + bsz, num_images) - start)
-            # padded duplicate seeds contribute identical stats; rescale
-            scale = n_real / lat.shape[0]
-            scaled = {k: np.asarray(v, np.float64) * scale
-                      for k, v in stats.items()}
-            acc = (scaled if acc is None else
-                   {k: acc[k] + scaled[k] for k in scaled})
+            seeds = np.arange(start, min(start + bsz, num_images))
+            n_real = len(seeds)
+            pad = pad_to_multiple(n_real, ndev) - n_real
+            seeds = np.concatenate([seeds, np.repeat(seeds[-1:], pad)])
+            w = np.concatenate([np.ones(n_real, np.float32),
+                                np.zeros(pad, np.float32)])
+            lat = stacked_randn(jnp.asarray(seeds), shape)
+            sh = data_sharding(mesh, lat.ndim)
+            lat = jax.device_put(lat, sh)
+            w = jax.device_put(jnp.asarray(w), data_sharding(mesh, 1))
+            stats = jax.device_get(batch_stats(lat, w))
+            stats = {k: np.asarray(v, np.float64) for k, v in stats.items()}
+            acc = (stats if acc is None else
+                   {k: acc[k] + stats[k] for k in stats})
             total += n_real
         report = {k: np.asarray(v) / total for k, v in acc.items()}
         os.makedirs(outdir, exist_ok=True)
