@@ -206,6 +206,22 @@ def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
             def student_out(t_cand):
                 C = np.asarray(lms_coeffs[cfg.solver](t_cand))
                 return run(latents_last, jnp.asarray(t_cand), jnp.asarray(C))
+        elif cfg.solver in ("dpmpp", "unipc"):
+            # same single-compile trick: the coefficient dataclasses are
+            # registered pytrees, so the whole stack enters as traced args
+            stu = get_sampler(cfg.solver)
+            # dpmpp/unipc cap at order 3 (gits sample.py:142 documents the
+            # per-family ranges); GITSConfig's default 4 is the LMS convention
+            mo = min(cfg.max_order or 3, 3)
+            run = jax.jit(lambda lat, t, co: stu(
+                denoise, lat, t, afs=True, max_order=mo, coeffs=co).x)
+
+            def student_out(t_cand):
+                co = (multistep.dpm_pp_coeffs(t_cand, mo)
+                      if cfg.solver == "dpmpp"
+                      else multistep.unipc_coeffs(t_cand, mo))
+                co = jax.tree.map(jnp.asarray, co)
+                return run(latents_last, jnp.asarray(t_cand), co)
         else:
             stu = get_sampler(cfg.solver)
 

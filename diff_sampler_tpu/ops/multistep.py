@@ -244,7 +244,12 @@ def deis_coeffs(
 
 @dataclasses.dataclass(frozen=True)
 class DpmPpCoeffs:
-    """x_{i+1} = A[i]*x_i + B[i,0]*m_i + B[i,1]*m_{i-1} + B[i,2]*m_{i-2}."""
+    """x_{i+1} = A[i]*x_i + B[i,0]*m_i + B[i,1]*m_{i-1} + B[i,2]*m_{i-2}.
+
+    Registered as a jax pytree (all fields are leaves) so a coefficient
+    stack can enter a jit as a traced argument -- the GITS AFS search
+    compiles ONE sampler and feeds every candidate schedule's coefficients
+    through it (gits/search.py)."""
 
     A: np.ndarray  # [N-1]
     B: np.ndarray  # [N-1, 3]

@@ -34,6 +34,17 @@ import numpy as np
 
 from ..ops import multistep, schedules
 
+# Coefficient stacks as jit-traceable pytrees (multistep.py stays jax-free):
+# lets the GITS AFS search compile ONE dpmpp/unipc sampler and feed every
+# candidate schedule's host-precomputed coefficients as traced arguments.
+jax.tree_util.register_dataclass(
+    multistep.DpmPpCoeffs, data_fields=["A", "B"], meta_fields=[])
+jax.tree_util.register_dataclass(
+    multistep.UniPCCoeffs,
+    data_fields=["alpha", "t_next", "h_phi_1", "B_h", "inv_rks", "rhos_p",
+                 "rhos_c", "rhos_c_last", "use_corrector"],
+    meta_fields=["predict_x0"])
+
 Denoiser = Callable[[jax.Array, jax.Array], jax.Array]
 
 __all__ = [
@@ -262,8 +273,10 @@ def dpm_2_sampler(denoise, latents, t_steps, *, r=0.5, afs=False, denoise_to_zer
 
 def dpm_pp_sampler(denoise, latents, t_steps, *, max_order=3, predict_x0=True,
                    lower_order_final=True, afs=False, denoise_to_zero=False,
-                   return_inters=False, dtype=jnp.float32, **_):
-    co = multistep.dpm_pp_coeffs(t_steps, max_order, predict_x0, lower_order_final)
+                   return_inters=False, dtype=jnp.float32, coeffs=None, **_):
+    co = (coeffs if coeffs is not None else
+          multistep.dpm_pp_coeffs(t_steps, max_order, predict_x0,
+                                  lower_order_final))
     x, t = _prepare(latents, t_steps, dtype)
     n = len(t_steps) - 1
     buf = jnp.zeros((2,) + x.shape, dtype)
@@ -302,8 +315,11 @@ def dpm_pp_sampler(denoise, latents, t_steps, *, max_order=3, predict_x0=True,
 
 def unipc_sampler(denoise, latents, t_steps, *, max_order=3, predict_x0=True,
                   lower_order_final=True, variant="bh2", afs=False,
-                  denoise_to_zero=False, return_inters=False, dtype=jnp.float32, **_):
-    co = multistep.unipc_coeffs(t_steps, max_order, predict_x0, lower_order_final, variant)
+                  denoise_to_zero=False, return_inters=False, dtype=jnp.float32,
+                  coeffs=None, **_):
+    co = (coeffs if coeffs is not None else
+          multistep.unipc_coeffs(t_steps, max_order, predict_x0,
+                                 lower_order_final, variant))
     x, t = _prepare(latents, t_steps, dtype)
     n = len(t_steps) - 1
 

@@ -106,3 +106,39 @@ def test_dp_multi_coeff_table():
     assert (1.0, 2) in table and (1.15, 4) in table
     for phi in table.values():
         assert phi[0] == 0 and phi[-1] == 10
+
+
+def test_gits_afs_insertion_dpmpp_unipc_single_compile():
+    """AFS search single-compile path for the coefficient-dataclass solvers
+    (coeffs enter the jit as registered pytrees)."""
+    den = GaussianDenoiser(-0.1, 0.04)
+    for solver in ("dpmpp", "unipc"):
+        cfg = GITSConfig(num_steps=5, num_steps_tea=13, num_warmup=8,
+                         batch_size=8, metric="l2", afs=True, solver=solver)
+        dp_list, _t = gits_schedule(den, (2, 4, 4), cfg)
+        assert len(dp_list) in (5, 6)
+        assert all(a < b for a, b in zip(dp_list, dp_list[1:]))
+
+
+def test_coeff_injection_matches_host_path():
+    """sampler(..., coeffs=<traced pytree>) == sampler(...) exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_sampler_tpu.ops import multistep
+    from diff_sampler_tpu.ops.schedules import get_schedule
+    from diff_sampler_tpu.solvers.samplers import get_sampler
+    from diff_sampler_tpu.utils.rng import stacked_randn
+
+    den = GaussianDenoiser(-0.1, 0.04)
+    t = get_schedule(6, 0.002, 80.0)
+    lat = stacked_randn(np.arange(4), (2, 4, 4))
+    for solver, coeff_fn in [("dpmpp", multistep.dpm_pp_coeffs),
+                             ("unipc", multistep.unipc_coeffs)]:
+        s = get_sampler(solver)
+        a = np.asarray(jax.jit(lambda l: s(den, l, t, afs=True).x)(lat))
+        co = jax.tree.map(jnp.asarray, coeff_fn(t, 3))
+        b = np.asarray(jax.jit(
+            lambda l, tt, c: s(den, l, tt, afs=True, coeffs=c).x)(
+                lat, jnp.asarray(t), co))
+        np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
