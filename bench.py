@@ -68,7 +68,10 @@ def main():
             jax.random.normal(jax.random.key(1), (batch, 32, 32, 3)), dev)
         lat = fn(lat)
         lat.block_until_ready()  # compile + warm
-        reps = 3
+        # keep every measurement window >= ~3 s: short-NFE calls need more
+        # reps or host scheduling noise dominates (745 vs 580 img/s observed
+        # at NFE5 with reps=3)
+        reps = max(3, round(90 / num_steps))
         t0 = time.perf_counter()
         for _ in range(reps):
             lat = fn(lat)
