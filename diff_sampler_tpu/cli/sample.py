@@ -253,6 +253,12 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
             import dataclasses as _dc
 
             cfg = _dc.replace(cfg, schedule_type="discrete", schedule_rho=1.0)
+    if return_inters and model_source in ("ldm", "sd"):
+        raise click.ClickException(
+            "--return_inters is not supported for latent models: the "
+            "trajectory lives in latent space and grid/PNG output would "
+            "render undecoded latents (use the library API and "
+            "decode_first_stage per point instead)")
     images = generate(den, seeds, shape, cfg, mesh=mesh,
                       max_batch_size=max_batch_size,
                       return_inters=return_inters, **cond_kw, **sched_kw)
@@ -293,6 +299,8 @@ def _amed_sample(module, params, den, predictor, seeds, shape, max_batch_size,
     from ..utils import checkpoint as ckpt
     from ..utils.rng import stacked_randn
 
+    import flax.linen as fnn
+
     npz, cfg_dict = _resolve_snapshot(predictor)
     if not npz.endswith("predictor.npz"):
         cand = os.path.join(os.path.dirname(npz), "predictor.npz")
@@ -301,26 +309,45 @@ def _amed_sample(module, params, den, predictor, seeds, shape, max_batch_size,
                         if k in AMEDConfig.__dataclass_fields__})
     pred_params = ckpt.load_params(npz)["params"]
     pred = AMEDPredictor(scale_dir=cfg.scale_dir, scale_time=cfg.scale_time)
-    den_b = bind_with_bottleneck(
-        module, params,
-        bottleneck_module_name(getattr(module, "label_dim", 0),
-                               module.img_resolution))
+    label_dim = getattr(module, "label_dim", 0)
+    bneck = bottleneck_module_name(label_dim, module.img_resolution)
+    # discrete-time tiers need the model's sigma maps for the schedule
     t_steps = get_schedule(cfg.num_steps, cfg.sigma_min, cfg.sigma_max,
-                           cfg.schedule_type, cfg.schedule_rho)
+                           cfg.schedule_type, cfg.schedule_rho,
+                           sigma_fn=getattr(module, "sigma", None),
+                           sigma_inv_fn=getattr(module, "sigma_inv", None))
     sampler = AMED_SOLVER_REGISTRY[cfg.sampler_stu]
     nfe = 2 * (cfg.num_steps - 1) - (1 if cfg.afs else 0)
     print0(f"AMED: student={cfg.sampler_stu} steps={cfg.num_steps} NFE={nfe} "
            f"(restored from predictor config)")
 
-    fn = jax.jit(lambda lat: sampler(
-        den_b, lambda b, tc, tn: pred.apply({"params": pred_params}, b, tc, tn),
-        lat, t_steps, afs=cfg.afs, max_order=cfg.max_order,
-        predict_x0=cfg.predict_x0, lower_order_final=cfg.lower_order_final).x)
+    pred_apply = lambda b, tc, tn: pred.apply({"params": pred_params}, b, tc, tn)
+    conditional = label_dim > 0 and not isinstance(module, fnn.Module)
+    if conditional:
+        # CG/CFG tier: per-seed random class labels, bound per batch
+        # (sample.py:276-281 / train-time denoise_factory symmetry)
+        fn = jax.jit(lambda lat, labels: sampler(
+            bind_with_bottleneck(module, params, bneck, class_labels=labels),
+            pred_apply, lat, t_steps, afs=cfg.afs, max_order=cfg.max_order,
+            predict_x0=cfg.predict_x0,
+            lower_order_final=cfg.lower_order_final).x)
+    else:
+        den_b = bind_with_bottleneck(module, params, bneck)
+        fn = jax.jit(lambda lat: sampler(
+            den_b, pred_apply, lat, t_steps, afs=cfg.afs,
+            max_order=cfg.max_order, predict_x0=cfg.predict_x0,
+            lower_order_final=cfg.lower_order_final).x)
     out = []
     for s in range(0, len(seeds), max_batch_size):
         chunk = seeds[s : s + max_batch_size]
         lat = stacked_randn(jnp.asarray(chunk), shape)
-        out.append(np.asarray(fn(lat), np.float32))
+        if conditional:
+            from ..utils.rng import stacked_randint
+
+            labels = stacked_randint(jnp.asarray(chunk), (), 0, label_dim)
+            out.append(np.asarray(fn(lat, labels), np.float32))
+        else:
+            out.append(np.asarray(fn(lat), np.float32))
     images = np.concatenate(out)
     _save(images, seeds,
           outdir or f"samples/{dataset_name}-amed-{cfg.sampler_stu}",

@@ -83,8 +83,6 @@ def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
         f"-{desc}" if desc else "")
     run_dir = ckpt.create_run_dir(outdir, run_desc)
     logger = Logger(os.path.join(run_dir, "log.txt"), "a")
-    # Sampling-config-in-checkpoint pattern: JSON sidecar (SURVEY 5.4).
-    ckpt.save_config(os.path.join(run_dir, "predictor_config.json"), cfg)
     print0(f"Run dir: {run_dir}")
 
     import flax.linen as flax_nn
@@ -95,6 +93,10 @@ def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
     # expose sigma maps; amed sample.py:171-185 restores the same way).
     cfg = dataclasses.replace(cfg, sigma_min=float(module.sigma_min),
                               sigma_max=float(module.sigma_max))
+    # Sampling-config-in-checkpoint pattern: JSON sidecar (SURVEY 5.4),
+    # saved AFTER the model range replace -- the sidecar must describe the
+    # schedule the predictor actually trains on.
+    ckpt.save_config(os.path.join(run_dir, "predictor_config.json"), cfg)
     sigma_fn = getattr(module, "sigma", None)
     sigma_inv_fn = getattr(module, "sigma_inv", None)
 

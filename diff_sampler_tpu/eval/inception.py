@@ -293,7 +293,7 @@ def _automap_conv_bn(sd: Dict[str, Any]):
     current: Dict[str, Any] = {}
 
     def flush():
-        if unit_idx < 0:
+        if unit_idx < 0 or not current:
             return
         path = CONV_UNITS_GRAPH_ORDER[unit_idx]
         out_ch = current["conv"].shape[-1]
@@ -319,12 +319,17 @@ def _automap_conv_bn(sd: Dict[str, Any]):
             if unit_idx >= len(CONV_UNITS_GRAPH_ORDER):
                 report["unused"].append(name)
                 unit_idx -= 1
+                current = {}  # already flushed; don't attach later vectors
                 continue
             kern = arr.transpose(2, 3, 1, 0).astype(np.float32)  # OIHW->HWIO
             want = CONV_UNITS_GRAPH_ORDER[unit_idx]
             current = {"conv": np.ascontiguousarray(kern), "_name": name,
                        "_unit": want}
-        elif arr.ndim == 1 and unit_idx >= 0:
+        elif (arr.ndim == 1 and unit_idx >= 0 and "conv" in current
+              and arr.shape[0] == current["conv"].shape[-1]):
+            # BN vector for the open conv unit; the shape guard keeps
+            # trailing head tensors (e.g. the 1008-way logits bias arriving
+            # after the last conv) from corrupting its BN params
             low = name.lower()
             if "mean" in low:
                 current["mean"] = arr.astype(np.float32)

@@ -43,9 +43,11 @@ class SolverConfig:
     r: float = 0.5
     t_steps: Optional[Tuple[float, ...]] = None  # explicit sigma schedule
     dp_list: Optional[Tuple[int, ...]] = None  # GITS schedule sub-selection
-    # --sigma_min/--sigma_max overrides (sample.py:153-154); None = use the
-    # model's own range (the reference overwrites the flags with net attrs,
-    # sample.py:196-197, so these only matter for nets without a range)
+    # --sigma_min/--sigma_max (sample.py:153-154); None = the model's own
+    # range.  Intentional divergence: when set, these OVERRIDE the model
+    # range -- the reference accepts the flags but silently overwrites them
+    # with net attrs (sample.py:196-197), making them no-ops for every model
+    # that defines a range (i.e. all of them).  Documented in MIGRATION.md.
     sigma_min: Optional[float] = None
     sigma_max: Optional[float] = None
 

@@ -106,7 +106,6 @@ def make_amed_train_step(predictor: AMEDPredictor, denoise_b, cfg: AMEDConfig,
         return out.xs[tea_idx]
 
     def train_step(pred_params, opt_state, latents, labels=None):
-        den = denoise_factory(labels) if denoise_factory is not None else denoise_b
         batch = latents.shape[0]
         mb = cfg.batch_gpu or batch
         if batch % mb:
@@ -114,16 +113,21 @@ def make_amed_train_step(predictor: AMEDPredictor, denoise_b, cfg: AMEDConfig,
         n_acc = batch // mb
         # per-microbatch teacher trajectories + states (accumulation rounds,
         # amed training_loop.py:197-205: grads summed over rounds, ONE Adam
-        # step per trajectory segment)
+        # step per trajectory segment); conditional tiers get a denoiser
+        # bound to each microbatch's label slice
         chunks = [latents[a * mb:(a + 1) * mb] for a in range(n_acc)]
-        teas = [jax.lax.stop_gradient(teacher_traj(den, c)) for c in chunks]
+        dens = ([denoise_factory(labels[a * mb:(a + 1) * mb])
+                 for a in range(n_acc)]
+                if denoise_factory is not None else [denoise_b] * n_acc)
+        teas = [jax.lax.stop_gradient(teacher_traj(d, c))
+                for d, c in zip(dens, chunks)]
         xs = [c * jnp.float32(t_steps[0]) for c in chunks]
         buffers = [([], []) for _ in range(n_acc)]
         losses = []
         for step_idx in range(cfg.num_steps - 1):
             seg_t = t_steps[step_idx : step_idx + 2]
 
-            def seg_loss(pp, x_in, tea_target, bufs):
+            def seg_loss(pp, x_in, tea_target, bufs, den):
                 def pred_apply(b, tc, tn):
                     return predictor.apply({"params": pp}, b, tc, tn)
 
@@ -142,7 +146,8 @@ def make_amed_train_step(predictor: AMEDPredictor, denoise_b, cfg: AMEDConfig,
             for a in range(n_acc):
                 (loss, (stu, bufs_a)), g = jax.value_and_grad(
                     seg_loss, has_aux=True)(pred_params, xs[a],
-                                            teas[a][step_idx], buffers[a])
+                                            teas[a][step_idx], buffers[a],
+                                            dens[a])
                 grads = g if grads is None else jax.tree.map(
                     jnp.add, grads, g)
                 buffers[a] = bufs_a

@@ -70,10 +70,7 @@ class LMDBReader:
             path = os.path.join(path, "data.mdb")
         self._f = open(path, "rb")
         self._size = os.fstat(self._f.fileno()).st_size
-        metas = []
         head = self._read_raw(0, 8192 * 2)
-        for i, guess in enumerate((4096, 8192)):
-            pass
         # psize is recorded in the meta itself; meta 0 starts at offset 0.
         m0 = _parse_meta(head)
         m1 = _parse_meta(head[m0.psize:]) if self._size >= 2 * m0.psize else m0

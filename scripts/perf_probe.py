@@ -40,10 +40,12 @@ def main():
                    help="A/B: use the depthwise-conv box resample path")
     args = p.parse_args()
 
-    if args.no_box_reshape:
-        from diff_sampler_tpu.models import layers
+    from diff_sampler_tpu.models import layers
 
-        layers.BOX_RESAMPLE_RESHAPE = False
+    # A/B: default arm measures the reshape-based box resample, the flag
+    # selects the depthwise-conv path (the production default).  The module
+    # default is False, so BOTH arms must assign or the A/B is a no-op.
+    layers.BOX_RESAMPLE_RESHAPE = not args.no_box_reshape
 
     from diff_sampler_tpu.models.precond import EDMPrecond
 

@@ -175,6 +175,18 @@ def test_cg_amed_training_with_labels():
                          pred_params, new_params)
     assert max(jax.tree.leaves(moved)) > 0.0
 
+    # regression: --batch_gpu accumulation must slice labels per microbatch
+    # along with latents (full-batch labels against a microbatch crashed at
+    # trace time with a broadcast error)
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, batch_gpu=1)
+    step2 = jax.jit(make_amed_train_step(pred, None, cfg2, opt,
+                                         denoise_factory=factory,
+                                         sigma_fn=pre.sigma,
+                                         sigma_inv_fn=pre.sigma_inv))
+    p2, _, m2 = step2(pred_params, opt.init(pred_params), lat, labels)
+    assert np.isfinite(float(m2["loss"]))
+
 
 def test_ldm_bottleneck_and_discrete_schedule():
     pre, _, _ = _ldm_precond()

@@ -124,10 +124,14 @@ def test_automap_roundtrip(flax_inception):
         flat[f"{base}.running_mean"] = np.asarray(node["bn_mean"])
         flat[f"{base}.running_var"] = np.asarray(node["bn_var"])
     flat["output.weight"] = np.zeros((1008, 2048), np.float32)  # unused head
+    # regression: the real detector's 1008-way logits BIAS arrives after the
+    # last conv; it must land in 'unused', not overwrite that unit's BN
+    # (its width differs from the last conv's out_ch)
+    flat["output.bias"] = np.zeros((1008,), np.float32)
 
     mapped, report = I._automap_conv_bn(flat)
     assert report["n_units"] == len(I.CONV_UNITS_GRAPH_ORDER)
-    assert report["unused"] == ["output.weight"]
+    assert report["unused"] == ["output.weight", "output.bias"]
     jax.tree.map(np.testing.assert_array_equal, mapped, params)
 
 
