@@ -237,3 +237,44 @@ def test_ldm_amed_training_smoke_discrete():
     lat = jax.random.normal(jax.random.key(7), (2, RES, RES, 3))
     new_params, _, metrics = step(pred_params, opt.init(pred_params), lat)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_amed_sample_cli_path_conditional(tmp_path):
+    """cli/sample._amed_sample on a classifier-guided tier: per-seed class
+    labels are drawn and bound (train/sample symmetry regression -- the CG
+    precond asserts class_labels is not None)."""
+    import json
+    import os
+
+    from diff_sampler_tpu.cli.sample import _amed_sample
+    from diff_sampler_tpu.utils import checkpoint as ckpt
+
+    net = ADMUNet(**{**ADM_KW, "num_classes": 7, "out_channels": 6})
+    params = net.init(jax.random.key(0), jnp.zeros((1, RES, RES, 3)),
+                      jnp.ones((1,)), jnp.zeros((1,), jnp.int32))["params"]
+
+    def capture(x, t, y):
+        return net.apply({"params": params}, x, t, y, return_bottleneck=True)
+
+    pre = CGPrecond(
+        model_fn=lambda x, t, y: net.apply({"params": params}, x, t, y),
+        classifier_fn=lambda x, t: jnp.zeros((x.shape[0], 7), x.dtype),
+        img_resolution=RES, img_channels=3, label_dim=7, guidance_rate=0.0,
+        model_fn_bottleneck=capture)
+
+    cfg = AMEDConfig(num_steps=3, M=1, sampler_stu="amed", sampler_tea="euler",
+                     afs=False, sigma_min=float(pre.sigma_min),
+                     sigma_max=float(pre.sigma_max))
+    pred = predictor_from_config(cfg)
+    pp = pred.init(jax.random.key(1), jnp.zeros((2, 64)), jnp.asarray(1.0),
+                   jnp.asarray(0.5))["params"]
+    run = tmp_path / "00000-test"
+    os.makedirs(run)
+    ckpt.save_config(str(run / "predictor_config.json"), cfg)
+    ckpt.save_params(str(run / "predictor.npz"), pp)
+
+    out = tmp_path / "samples"
+    _amed_sample(pre, None, None, str(run), [0, 1, 2], (RES, RES, 3),
+                 4, str(out), False, False, "imagenet256-test")
+    pngs = [f for _r, _d, fs in os.walk(out) for f in fs if f.endswith(".png")]
+    assert len(pngs) == 3
