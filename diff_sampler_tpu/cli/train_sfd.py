@@ -1,7 +1,14 @@
 """SFD distillation training CLI (mirrors `sfd-main/train.py:15-156`).
 
+  # pixel-space EDM tiers
   python -m diff_sampler_tpu.cli.train_sfd --dataset_name=cifar10 \\
       --model_path=random --total_kimg=1 --batch=8
+
+  # latent tiers (LDM / Stable Diffusion): the student is the latent U-Net,
+  # distilled in latent space (sfd training_loop.py:85-110,168-186,227-260)
+  python -m diff_sampler_tpu.cli.train_sfd --dataset_name=ms_coco \\
+      --guidance_type=cfg --guidance_rate=7.5 --schedule_type=discrete \\
+      --schedule_rho=1 --model_path=/path/to/sd-v1-5.ckpt --batch=32
 """
 
 from __future__ import annotations
@@ -15,18 +22,23 @@ import click
 import numpy as np
 
 from ..models.factory import create_model
-from ..parallel.mesh import (data_sharding, get_mesh, print0, replicated)
-from ..training.sfd import SFDConfig, make_train_step
+from ..parallel.mesh import (data_sharding, get_mesh, maybe_initialize_distributed,
+                             print0, process_index, replicated)
+from ..training.sfd import SFDConfig, make_ldm_train_step, make_train_step
 from ..utils import checkpoint as ckpt
 from ..utils import stats as training_stats
 from ..utils.common import EasyDict, Logger
 from ..utils.profiling import Timer, device_memory_stats
 from ..utils.rng import stacked_randn
 
+LATENT_DATASETS = ("ms_coco", "lsun_bedroom_ldm", "ffhq_ldm")
+
 
 @click.command()
-@click.option("--dataset_name", type=click.Choice(["cifar10", "ffhq", "afhqv2",
-                                                   "imagenet64"]), required=True)
+@click.option("--dataset_name", type=click.Choice(
+    ["cifar10", "ffhq", "afhqv2", "imagenet64",  # EDM tier
+     "ms_coco", "lsun_bedroom_ldm", "ffhq_ldm"]  # LDM/SD tier (sfd train.py:18)
+), required=True)
 @click.option("--outdir", type=str, default="./exps")
 @click.option("--total_kimg", type=click.IntRange(min=1), default=200)
 @click.option("--use_step_condition", type=bool, default=False)
@@ -36,6 +48,9 @@ from ..utils.rng import stacked_randn
 @click.option("--sampler_tea", type=click.Choice(["dpm", "dpmpp", "euler",
                                                   "ipndm", "heun"]), default="dpmpp")
 @click.option("--m", "--M", "M", type=click.IntRange(min=0), default=3)
+@click.option("--guidance_type", type=click.Choice(["cg", "cfg", "uncond"]),
+              default=None)
+@click.option("--guidance_rate", type=float, default=0.0)
 @click.option("--schedule_type", type=str, default="polynomial")
 @click.option("--schedule_rho", type=float, default=7.0)
 @click.option("--afs", type=bool, default=True)
@@ -43,7 +58,13 @@ from ..utils.rng import stacked_randn
 @click.option("--predict_x0", type=bool, default=True)
 @click.option("--lower_order_final", type=bool, default=True)
 @click.option("--batch", type=click.IntRange(min=1), default=128)
+@click.option("--batch_gpu", type=click.IntRange(min=1), default=None,
+              help="Microbatch for gradient accumulation (reference "
+                   "--batch-gpu; ms_coco forces an effective 128)")
 @click.option("--lr", type=float, default=5e-5)
+@click.option("--prompts_path", type=str, default=None,
+              help="MS-COCO captions CSV with a 'text' column "
+                   "(sfd training_loop.py:168-178)")
 @click.option("--remat", type=bool, default=True,
               help="Block-granular rematerialization (fits batch>=64 on 16GB)")
 @click.option("--resume", type=str, default=None,
@@ -55,13 +76,16 @@ from ..utils.rng import stacked_randn
 @click.option("--seed", type=int, default=0)
 @click.option("-n", "--dry-run", is_flag=True)
 def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
-         model_path, num_steps, sampler_tea, M, schedule_type, schedule_rho,
-         afs, max_order, predict_x0, lower_order_final, batch, lr, remat,
-         resume, desc, tick, snap, seed, dry_run):
+         model_path, num_steps, sampler_tea, M, guidance_type, guidance_rate,
+         schedule_type, schedule_rho, afs, max_order, predict_x0,
+         lower_order_final, batch, batch_gpu, lr, prompts_path, remat, resume,
+         desc, tick, snap, seed, dry_run):
     import jax
     import jax.numpy as jnp
     import optax
 
+    maybe_initialize_distributed()
+    latent = dataset_name in LATENT_DATASETS
     cfg = SFDConfig(num_steps=num_steps, M=M, sampler_tea=sampler_tea,
                     schedule_type=schedule_type, schedule_rho=schedule_rho,
                     afs=afs, max_order=max_order, predict_x0=predict_x0,
@@ -72,7 +96,8 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
     run_desc = f"{dataset_name}-{num_steps}step-{sampler_tea}{M}" + (
         f"-{desc}" if desc else "")
     options = EasyDict(dataset_name=dataset_name, batch=batch, lr=lr,
-                       total_kimg=total_kimg, seed=seed,
+                       total_kimg=total_kimg, seed=seed, model_path=model_path,
+                       guidance_type=guidance_type, guidance_rate=guidance_rate,
                        **dataclasses.asdict(cfg))
     if dry_run:
         print0("Training options:")
@@ -85,16 +110,50 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
     ckpt.save_config(os.path.join(run_dir, "training_options.json"), options)
     print0(f"Run dir: {run_dir}")
 
-    # Student net (trainable) + frozen teacher copy (training_loop.py:187).
-    module, params, _src = _create_student(dataset_name, model_path,
-                                           use_step_condition, remat)
-    teacher_params = jax.tree.map(lambda a: a.copy(), params)
+    # Gradient accumulation: ms_coco forces an EFFECTIVE batch of 128 by
+    # drawing 128//batch fresh rounds of `batch` latents per iteration
+    # (training_loop.py:227,246: num_acc_rounds * batch_gpu images/iter);
+    # other tiers honor --batch_gpu (total `batch` split into microbatches).
+    if dataset_name == "ms_coco":
+        n_acc = max(1, 128 // batch)
+        mb = batch
+    elif batch_gpu is not None and batch_gpu < batch:
+        if batch % batch_gpu:
+            raise click.ClickException(
+                f"batch {batch} not divisible by batch_gpu {batch_gpu}")
+        n_acc = batch // batch_gpu
+        mb = batch_gpu
+    else:
+        n_acc = 1
+        mb = batch
+    eff_batch = n_acc * mb
+    if n_acc > 1:
+        print0(f"Gradient accumulation: {n_acc} rounds of {mb}")
 
     # lr drops 10x at half training (training_loop.py:297-301).
-    half = (total_kimg * 1000) // (2 * batch)
+    half = (total_kimg * 1000) // (2 * eff_batch)
     schedule = optax.join_schedules([optax.constant_schedule(lr),
                                      optax.constant_schedule(lr / 10.0)], [half])
     optimizer = optax.adam(schedule)
+
+    label_dim = 0
+    context_fn = None
+    if latent:
+        precond, ld, params = _create_latent_student(
+            dataset_name, model_path, guidance_type, guidance_rate)
+        step_builder = lambda c: make_ldm_train_step(
+            _unet_apply(ld.unet), precond, c, optimizer, n_acc=n_acc)
+        res, chn = precond.img_resolution, precond.img_channels
+        if dataset_name == "ms_coco":
+            context_fn = _make_context_fn(ld, prompts_path, eff_batch, seed)
+    else:
+        module, params, _src = _create_student(dataset_name, model_path,
+                                               use_step_condition, remat)
+        step_builder = lambda c: make_train_step(module, c, optimizer,
+                                                 n_acc=n_acc)
+        res, chn = module.img_resolution, module.img_channels
+        label_dim = module.label_dim
+    teacher_params = jax.tree.map(lambda a: a.copy(), params)
     opt_state = optimizer.init(params)
     start_nimg = 0
     if resume:
@@ -112,13 +171,20 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
     mesh = get_mesh()
     rep = replicated(mesh)
     shard = data_sharding(mesh, 4)
+    conditional = label_dim > 0 or context_fn is not None
+    cond_ndim = 3 if context_fn is not None else 2
 
     def build_step(c):
-        return jax.jit(make_train_step(module, c, optimizer),
+        if conditional:
+            return jax.jit(step_builder(c),
+                           in_shardings=(rep, rep, rep, shard,
+                                         data_sharding(mesh, cond_ndim)),
+                           out_shardings=(rep, rep, rep))
+        return jax.jit(step_builder(c),
                        in_shardings=(rep, rep, rep, shard),
                        out_shardings=(rep, rep, rep))
 
-    if use_step_condition and not is_second_stage:
+    if use_step_condition and not is_second_stage and not latent:
         # SFD-v: randomize num_steps in [4,7] per trajectory
         # (training_loop.py:239-244); one jitted program per step count.
         step_variants = {
@@ -133,20 +199,35 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
     opt_state = jax.device_put(opt_state, rep)
     teacher_params = jax.device_put(teacher_params, rep)
 
-    res, chn = module.img_resolution, module.img_channels
     collector = training_stats.default_collector
     jsonl = training_stats.JsonlWriter(os.path.join(run_dir, "stats.jsonl"))
     timer = Timer()
-    cur_nimg, it = start_nimg, start_nimg // batch
-    print0(f"Training for {total_kimg} kimg (batch {batch})...")
+    cur_nimg, it = start_nimg, start_nimg // eff_batch
+    print0(f"Training for {total_kimg} kimg (batch {eff_batch})...")
     while cur_nimg < total_kimg * 1000:
-        latents = stacked_randn(np.arange(it * batch, (it + 1) * batch) + seed,
-                                (res, res, chn))
+        batch_seeds = np.arange(it * eff_batch, (it + 1) * eff_batch) + seed
+        latents = stacked_randn(batch_seeds, (res, res, chn))
         latents = jax.device_put(latents, shard)
-        params, opt_state, metrics = train_step(params, opt_state,
-                                                teacher_params, latents)
+        if context_fn is not None:
+            cond = jax.device_put(context_fn(it), data_sharding(mesh, 3))
+            params, opt_state, metrics = train_step(
+                params, opt_state, teacher_params, latents, cond)
+        elif label_dim:
+            # random one-hot class labels per trajectory
+            # (training_loop.py:181-182)
+            from ..utils.rng import stacked_randint
+
+            idx = np.asarray(stacked_randint(batch_seeds, (), 0, label_dim))
+            cond = jax.device_put(
+                np.eye(label_dim, dtype=np.float32)[idx],
+                data_sharding(mesh, 2))
+            params, opt_state, metrics = train_step(
+                params, opt_state, teacher_params, latents, cond)
+        else:
+            params, opt_state, metrics = train_step(params, opt_state,
+                                                    teacher_params, latents)
         training_stats.report("Loss/loss", np.asarray(metrics["loss_per_step"]))
-        cur_nimg += batch
+        cur_nimg += eff_batch
         it += 1
         if it % tick == 0 or cur_nimg >= total_kimg * 1000:
             collector.update()
@@ -157,7 +238,8 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
                    f"hbm {mem['peak_bytes_in_use_gib']:.2f}GiB")
             jsonl.write(collector, kimg=cur_nimg / 1e3, **t)
             collector.reset()
-        if it % (tick * snap) == 0 or cur_nimg >= total_kimg * 1000:
+        if (it % (tick * snap) == 0 or cur_nimg >= total_kimg * 1000) \
+                and process_index() == 0:
             path = os.path.join(run_dir, f"snapshot-{cur_nimg//1000:06d}.npz")
             # zero-padded keys keep leaf order stable under string sort
             flat_opt = {f"{i:06d}": np.asarray(x) for i, x in
@@ -168,6 +250,44 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
             print0(f"Saved {path}")
     print0("Done.")
     logger.close()
+
+
+def _unet_apply(unet):
+    """Functional latent-U-Net call closing over the module only -- params
+    are an explicit argument so distillation gradients flow into them."""
+
+    def apply(p, x, t, c=None):
+        if c is None:
+            return unet.apply({"params": p}, x, t)
+        return unet.apply({"params": p}, x, t, c)
+
+    return apply
+
+
+def _create_latent_student(dataset_name, model_path, guidance_type,
+                           guidance_rate):
+    """LDM/SD student: CFGPrecond math + trainable latent-U-Net params
+    (sfd training_loop.py:85-110 create_model LDM branch; guidance asserts
+    mirror :92,97,103)."""
+    from ..models.factory import build_ldm_model
+
+    if dataset_name == "ms_coco":
+        assert guidance_type == "cfg", "ms_coco trains with --guidance_type=cfg"
+    else:
+        assert guidance_type in (None, "uncond"), (
+            f"{dataset_name} trains with --guidance_type=uncond")
+    precond, _ = build_ldm_model(dataset_name, model_path,
+                                 guidance_type=guidance_type,
+                                 guidance_rate=guidance_rate or 1.0)
+    ld = precond.latent_diffusion
+    return precond, ld, ld.unet_params
+
+
+def _make_context_fn(ld, prompts_path, batch, seed):
+    """Per-iteration caption context sampler (training_loop.py:168-178)."""
+    from ..training.conditioning import make_caption_context_fn
+
+    return make_caption_context_fn(ld, prompts_path, batch, seed)
 
 
 def _create_student(dataset_name, model_path, use_step_condition, remat):

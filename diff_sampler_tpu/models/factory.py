@@ -92,7 +92,16 @@ def create_model(dataset_name: str, model_path: Optional[str] = None,
         from .zoo import load_checkpoint_params
 
         return module, load_checkpoint_params(model_path), "edm"
-    if dataset_name == "lsun_bedroom":
+    if dataset_name in ("lsun_bedroom", "lsun_cat"):
+        # lsun_cat is in the reference's CLI choice list
+        # (amed-solver-main/train.py:18) but has NO checkpoint URL or
+        # create_model branch there; we route it through the CM tier and
+        # require an explicit local checkpoint.
+        if dataset_name == "lsun_cat" and model_path is None:
+            raise ValueError(
+                "lsun_cat has no registered checkpoint URL (the reference "
+                "publishes none either, torch_utils/download_util.py:6-19); "
+                "pass --model_path to a local CM checkpoint")
         return (*build_cm_model(model_path, dtype=dtype), "cm")
     if dataset_name == "imagenet256":
         return (*build_cg_model(model_path, guidance_rate, dtype=dtype), "adm")
@@ -141,19 +150,20 @@ def build_ldm_model(dataset_name, model_path=None, guidance_type=None,
                                 cond_stage_fn=cond_fn, dtype=dtype)
 
     unet_bneck = _capture_middle(ld.unet, ld.unet_params)
+    res, chn = ld.unet.image_size, ld.unet.in_channels
     if dataset_name == "ms_coco":
         precond = CFGPrecond(
             model_fn=lambda x, t, cond: ld.apply_model(x, t, cond),
-            alphas_cumprod=ld.alphas_cumprod, img_resolution=64,
-            img_channels=4, guidance_type="classifier-free",
+            alphas_cumprod=ld.alphas_cumprod, img_resolution=res,
+            img_channels=chn, guidance_type="classifier-free",
             guidance_rate=guidance_rate, epsilon_t=1e-3, label_dim=1,
             model_fn_bottleneck=unet_bneck)
         precond.sigma_min = 0.1  # sfd training_loop.py:105
     else:
         precond = CFGPrecond(
             model_fn=lambda x, t, cond: ld.apply_model(x, t, None),
-            alphas_cumprod=ld.alphas_cumprod, img_resolution=64,
-            img_channels=3, guidance_type="uncond", guidance_rate=1.0,
+            alphas_cumprod=ld.alphas_cumprod, img_resolution=res,
+            img_channels=chn, guidance_type="uncond", guidance_rate=1.0,
             label_dim=0,
             model_fn_bottleneck=lambda x, t, cond: unet_bneck(x, t, None))
         precond.sigma_min = 0.006  # sfd training_loop.py:94,99

@@ -289,6 +289,16 @@ class CFGPrecond:
                                self.model_fn)
         return d_x
 
+    def denoise_with(self, model_fn, x, sigma, condition=None,
+                     unconditional_condition=None):
+        """Run the same preconditioning math through an EXPLICIT model_fn --
+        the functional entry point for trainable latent students (SFD
+        distillation differentiates through this into the U-Net params,
+        sfd-main/training/training_loop.py:214)."""
+        d_x, _ = self._denoise(x, sigma, condition, unconditional_condition,
+                               model_fn)
+        return d_x
+
     def with_bottleneck(self, x, sigma, condition=None,
                         unconditional_condition=None):
         """(D_x, raw middle-block activation) for AMED; with doubled-batch
