@@ -14,7 +14,9 @@ import click
 import numpy as np
 
 from ..models.factory import create_model
-from ..parallel.mesh import data_sharding, get_mesh, print0, replicated
+from ..parallel.mesh import (data_sharding, get_mesh,
+                             maybe_initialize_distributed, print0,
+                             process_index, replicated)
 from ..solvers.amed import bind_with_bottleneck, bottleneck_module_name
 from ..training.amed import (AMEDConfig, make_amed_train_step,
                              predictor_from_config)
@@ -28,10 +30,16 @@ from ..utils.rng import stacked_randn
 @click.command()
 @click.option("--dataset_name", type=click.Choice([
     "cifar10", "ffhq", "afhqv2", "imagenet64",        # EDM tier
-    "lsun_bedroom",                                   # CM tier (256px)
+    "lsun_bedroom", "lsun_cat",                       # CM tier (256px)
     "imagenet256",                                    # ADM + classifier guidance
-    "lsun_bedroom_ldm", "ffhq_ldm"]), required=True)  # LDM tier
+    "lsun_bedroom_ldm", "ffhq_ldm",                   # LDM tier
+    "ms_coco"]), required=True)                       # Stable Diffusion (CFG)
+@click.option("--guidance_type", type=click.Choice(["cg", "cfg", "uncond"]),
+              default=None)
 @click.option("--guidance_rate", type=float, default=1.0)
+@click.option("--prompt_path", type=str, default=None,
+              help="MS-COCO captions CSV with a 'text' column "
+                   "(amed training_loop.py:118-126)")
 @click.option("--outdir", type=str, default="./exps")
 @click.option("--total_kimg", type=click.IntRange(min=1), default=10)
 @click.option("--model_path", type=str, default=None)
@@ -58,13 +66,17 @@ from ..utils.rng import stacked_randn
 @click.option("--tick", type=click.IntRange(min=1), default=1)
 @click.option("--seed", type=int, default=0)
 @click.option("-n", "--dry-run", is_flag=True)
-def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
-         num_steps, sampler_stu, sampler_tea, M, schedule_type, schedule_rho,
-         afs, scale_dir, scale_time, max_order, predict_x0, lower_order_final,
-         batch, batch_gpu, lr, desc, tick, seed, dry_run):
+def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
+         total_kimg, model_path, num_steps, sampler_stu, sampler_tea, M,
+         schedule_type, schedule_rho, afs, scale_dir, scale_time, max_order,
+         predict_x0, lower_order_final, batch, batch_gpu, lr, desc, tick,
+         seed, dry_run):
     import jax
     import optax
 
+    maybe_initialize_distributed()
+    if dataset_name == "ms_coco":
+        assert guidance_type == "cfg", "ms_coco trains with --guidance_type=cfg"
     cfg = AMEDConfig(dataset_name=dataset_name, num_steps=num_steps,
                      sampler_stu=sampler_stu, sampler_tea=sampler_tea, M=M,
                      schedule_type=schedule_type, schedule_rho=schedule_rho,
@@ -72,7 +84,7 @@ def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
                      max_order=max_order, predict_x0=predict_x0,
                      lower_order_final=lower_order_final, lr=lr,
                      total_kimg=total_kimg, batch=batch, batch_gpu=batch_gpu,
-                     guidance_rate=guidance_rate)
+                     guidance_type=guidance_type, guidance_rate=guidance_rate)
     if dry_run:
         print0("Training options:")
         print0(json.dumps(dataclasses.asdict(cfg), indent=2))
@@ -88,6 +100,7 @@ def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
     import flax.linen as flax_nn
 
     module, params, src = create_model(dataset_name, model_path,
+                                       guidance_type=guidance_type,
                                        guidance_rate=guidance_rate)
     # Sampling range/schedule come from the wrapped net (discrete-time tiers
     # expose sigma maps; amed sample.py:171-185 restores the same way).
@@ -101,7 +114,9 @@ def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
     sigma_inv_fn = getattr(module, "sigma_inv", None)
 
     conditional = src == "adm"  # CG tier draws random labels per trajectory
+    text_cond = src == "sd"  # SD draws random captions (training_loop.py:173-180)
     denoise_factory = None
+    context_fn = None
     if isinstance(module, flax_nn.Module):
         den_b = bind_with_bottleneck(
             module, params,
@@ -111,6 +126,18 @@ def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
 
         def denoise_factory(labels):
             return bind_with_bottleneck(module, class_labels=labels)
+    elif text_cond:
+        den_b = None
+        mb = batch_gpu or batch
+        context_fn, uncond = _make_text_conditioning(
+            module.latent_diffusion, prompt_path, batch, mb, guidance_rate,
+            seed)
+        cfg_doubled = uncond is not None
+
+        def denoise_factory(ctx):
+            return bind_with_bottleneck(module, cfg_doubled=cfg_doubled,
+                                        condition=ctx,
+                                        unconditional_condition=uncond)
     else:
         den_b = bind_with_bottleneck(module)
 
@@ -128,10 +155,11 @@ def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
                                    denoise_factory=denoise_factory,
                                    sigma_fn=sigma_fn,
                                    sigma_inv_fn=sigma_inv_fn)
-    if conditional:
+    if conditional or text_cond:
+        cond_ndim = 3 if text_cond else 1
         train_step = jax.jit(step_fn,
                              in_shardings=(rep, rep, shard,
-                                           data_sharding(mesh, 1)),
+                                           data_sharding(mesh, cond_ndim)),
                              out_shardings=(rep, rep, rep),
                              donate_argnums=(0, 1))
     else:
@@ -158,6 +186,10 @@ def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
             labels = jax.device_put(labels, data_sharding(mesh, 1))
             pred_params, opt_state, metrics = train_step(
                 pred_params, opt_state, latents, labels)
+        elif text_cond:
+            ctx = jax.device_put(context_fn(it), data_sharding(mesh, 3))
+            pred_params, opt_state, metrics = train_step(
+                pred_params, opt_state, latents, ctx)
         else:
             pred_params, opt_state, metrics = train_step(pred_params,
                                                          opt_state, latents)
@@ -171,11 +203,24 @@ def main(dataset_name, guidance_rate, outdir, total_kimg, model_path,
                    f"sec/kimg {t['sec_per_kimg']:<8.1f}")
             jsonl.write(collector, kimg=cur_nimg / 1e3, **t)
             collector.reset()
-    path = os.path.join(run_dir, "predictor.npz")
-    ckpt.save_params(path, jax.device_get(pred_params))
-    print0(f"Saved {path}")
+    if process_index() == 0:
+        path = os.path.join(run_dir, "predictor.npz")
+        ckpt.save_params(path, jax.device_get(pred_params))
+        print0(f"Saved {path}")
     print0("Done.")
     logger.close()
+
+
+def _make_text_conditioning(ld, prompt_path, batch, mb, guidance_rate, seed):
+    """(context_fn, uncond) for SD AMED training: random-caption contexts per
+    iteration plus the (constant) empty-string CFG context sized to the
+    microbatch (amed training_loop.py:118-126,173-180)."""
+    from ..training.conditioning import (make_caption_context_fn,
+                                         make_uncond_context)
+
+    context_fn = make_caption_context_fn(ld, prompt_path, batch, seed)
+    uncond = make_uncond_context(ld, mb, guidance_rate, seed=seed)
+    return context_fn, uncond
 
 
 if __name__ == "__main__":

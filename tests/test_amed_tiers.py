@@ -239,6 +239,102 @@ def test_ldm_amed_training_smoke_discrete():
     assert np.isfinite(float(metrics["loss"]))
 
 
+SD_KW = dict(image_size=RES, in_channels=4, out_channels=4, model_channels=32,
+             num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+             num_heads=2, use_spatial_transformer=True, transformer_depth=1,
+             context_dim=16, legacy=False)
+
+
+def _sd_precond(guidance_rate=7.5):
+    """Tiny Stable-Diffusion-shaped tier: cross-attention latent U-Net under
+    classifier-free guidance (amed training_loop.py:69-73 create_model)."""
+    net = LDMUNet(**SD_KW)
+    params = net.init(jax.random.key(0), jnp.zeros((1, RES, RES, 4)),
+                      jnp.ones((1,)), jnp.zeros((1, 3, 16)))["params"]
+    alphas = np.cumprod(1.0 - np.linspace(1e-4, 2e-2, 50))
+    bneck = _capture_middle(net, params)
+    pre = CFGPrecond(
+        model_fn=lambda x, t, c: net.apply({"params": params}, x, t, c),
+        alphas_cumprod=alphas, img_resolution=RES, img_channels=4,
+        guidance_type="classifier-free", guidance_rate=guidance_rate,
+        label_dim=1, epsilon_t=1.0 / 50, model_fn_bottleneck=bneck)
+    return pre, net, params
+
+
+@pytest.mark.slow
+def test_sd_amed_training_with_captions_cfg_doubled():
+    """ms_coco-style AMED training: text contexts + empty-string uncond run
+    the CFG-doubled batch through the frozen SD net; the pooled bottleneck is
+    the cond half (amed training_loop.py:173-180, solvers_amed.py:33-39)."""
+    pre, _, _ = _sd_precond(guidance_rate=7.5)
+    cfg = AMEDConfig(num_steps=3, M=1, sampler_stu="amed", sampler_tea="euler",
+                     schedule_type="discrete", schedule_rho=1.0,
+                     sigma_min=float(pre.sigma_min),
+                     sigma_max=float(pre.sigma_max),
+                     scale_dir=0.01, scale_time=0.0, guidance_type="cfg",
+                     guidance_rate=7.5)
+    uc = jnp.zeros((2, 3, 16))
+
+    def denoise_factory(ctx):
+        return A.bind_with_bottleneck(pre, cfg_doubled=True, condition=ctx,
+                                      unconditional_condition=uc)
+
+    pred = predictor_from_config(cfg)
+    pred_params = pred.init(jax.random.key(6), jnp.zeros((2, 64)),
+                            jnp.asarray(1.0), jnp.asarray(0.5))["params"]
+    opt = optax.adam(cfg.lr)
+    step = jax.jit(make_amed_train_step(pred, None, cfg, opt,
+                                        denoise_factory=denoise_factory,
+                                        sigma_fn=pre.sigma,
+                                        sigma_inv_fn=pre.sigma_inv))
+    lat = jax.random.normal(jax.random.key(7), (2, RES, RES, 4))
+    ctx = jax.random.normal(jax.random.key(8), (2, 3, 16))
+    new_params, _, metrics = step(pred_params, opt.init(pred_params), lat, ctx)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         pred_params, new_params)
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+
+@pytest.mark.slow
+def test_train_amed_cli_ms_coco(tmp_path, monkeypatch):
+    """End-to-end CLI smoke on the SD tier (tiny config, random weights,
+    seeded random contexts)."""
+    from click.testing import CliRunner
+
+    from diff_sampler_tpu.cli.train_amed import main
+    from diff_sampler_tpu.models import ldm as ldm_mod
+
+    tiny = dict(
+        linear_start=0.00085, linear_end=0.0120, timesteps=100,
+        scale_factor=0.18215, conditioning_key="crossattn", first_stage="kl",
+        unet=dict(SD_KW),
+        vae=dict(z_channels=4, resolution=RES * 2, ch=32, ch_mult=(1, 2),
+                 num_res_blocks=1, attn_resolutions=(), double_z=True),
+        embed_dim=4)
+    monkeypatch.setattr(ldm_mod, "LDM_CONFIGS",
+                        {**ldm_mod.LDM_CONFIGS, "ms_coco": tiny})
+    args = [f"--outdir={tmp_path}", "--dataset_name=ms_coco",
+            "--model_path=random", "--guidance_type=cfg",
+            "--guidance_rate=7.5", "--total_kimg=1", "--batch=512",
+            "--num_steps=3", "--m=1", "--sampler_tea=euler",
+            "--schedule_type=discrete", "--schedule_rho=1", "--afs=False"]
+    res = CliRunner().invoke(main, args, catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    runs = list(tmp_path.iterdir())
+    assert len(runs) == 1
+    assert (runs[0] / "predictor.npz").exists()
+
+
+def test_lsun_cat_requires_explicit_model_path():
+    """The reference lists lsun_cat as a choice but registers no checkpoint
+    URL (train.py:18 vs download_util.py:6-19); we fail with a clear error."""
+    from diff_sampler_tpu.models.factory import create_model
+
+    with pytest.raises(ValueError, match="lsun_cat"):
+        create_model("lsun_cat", model_path=None)
+
+
 def test_amed_sample_cli_path_conditional(tmp_path):
     """cli/sample._amed_sample on a classifier-guided tier: per-seed class
     labels are drawn and bound (train/sample symmetry regression -- the CG
