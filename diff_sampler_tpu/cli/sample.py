@@ -129,6 +129,9 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
     import jax
     import jax.numpy as jnp
 
+    from ..parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     seeds = parse_int_list(seeds)
     dtype = jnp.bfloat16 if bf16 else jnp.float32
 
@@ -272,8 +275,9 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
                   range(images.shape[0] * images.shape[1]), out_base,
                   grid=True, subdirs=False)
         else:
-            os.makedirs(out_base, exist_ok=True)
-            np.savez(os.path.join(out_base, "trajectory.npz"), xs=images)
+            if jax.process_index() == 0:
+                os.makedirs(out_base, exist_ok=True)
+                np.savez(os.path.join(out_base, "trajectory.npz"), xs=images)
             print0(f"Saved trajectory {images.shape} to "
                    f"{out_base}/trajectory.npz")
         return
@@ -355,12 +359,23 @@ def _amed_sample(module, params, den, predictor, seeds, shape, max_batch_size,
 
 
 def _save(images, seeds, outdir, grid, subdirs):
+    """Write PNGs, sharded by process in multi-host runs (the reference
+    writes each rank's seed shard, sample.py:302-312; under SPMD every
+    process holds the full gathered batch, so shard by round-robin here)."""
+    import jax
+
     images = to_uint8(images)
     if grid:
-        save_grid(images, os.path.join(outdir, "grid.png"))
+        if jax.process_index() == 0:
+            save_grid(images, os.path.join(outdir, "grid.png"))
         print0(f"Saved grid to {outdir}/grid.png")
     else:
-        save_images(images, seeds, outdir, subdirs=subdirs)
+        pi, pc = jax.process_index(), jax.process_count()
+        if pc > 1:
+            seeds = list(seeds)
+            save_images(images[pi::pc], seeds[pi::pc], outdir, subdirs=subdirs)
+        else:
+            save_images(images, seeds, outdir, subdirs=subdirs)
         print0(f"Saved {len(seeds)} images to {outdir}")
     print0("Done.")
 

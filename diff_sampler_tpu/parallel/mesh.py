@@ -10,8 +10,10 @@ collectives over a `jax.sharding.Mesh`:
     seed i at any device count,
   * training: params replicated, batch sharded on 'data', gradients psum'd
     by XLA -- exactly replacing DDP + gradient accumulation,
-  * multi-host: `jax.distributed.initialize()` before mesh construction;
-    barriers become implicit in SPMD collectives.
+  * multi-host: CLIs call `maybe_initialize_distributed()` (env-gated
+    `jax.distributed.initialize()`) before any backend touch; barriers
+    become implicit in SPMD collectives; writes are gated/sharded on
+    `process_index()` (2-process harness: tests/test_multihost.py).
 """
 
 from __future__ import annotations
@@ -28,10 +30,50 @@ __all__ = [
     "replicated",
     "shard_batch",
     "replicate",
+    "maybe_initialize_distributed",
     "process_index",
     "print0",
     "pad_to_multiple",
 ]
+
+
+def maybe_initialize_distributed() -> bool:
+    """Multi-host bring-up: call `jax.distributed.initialize()` when launched
+    as one process of a multi-process job, else no-op.
+
+    Replaces the reference's `torch_utils/distributed.py:14-31` init()
+    (MASTER_ADDR/RANK env dance + process-group init).  Activation is
+    env-gated so single-host runs never pay a rendezvous:
+
+      * explicit: DST_COORDINATOR[, DST_NUM_PROCESSES, DST_PROCESS_ID] --
+        our own env surface, mirroring the reference's MASTER_ADDR surface,
+      * automatic: JAX_COORDINATOR_ADDRESS set by a launcher, or a real
+        multi-host TPU slice (jax.distributed.initialize() auto-detects).
+
+    Idempotent: a second call (e.g. CLI invoked twice in-process in tests)
+    is a no-op.  Returns True iff distributed was initialized by this call.
+    """
+    import os
+
+    if getattr(maybe_initialize_distributed, "_done", False):
+        return False
+    coord = os.environ.get("DST_COORDINATOR") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coord is None:
+        return False
+    kwargs = {}
+    if os.environ.get("DST_COORDINATOR"):
+        kwargs["coordinator_address"] = os.environ["DST_COORDINATOR"]
+        if os.environ.get("DST_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["DST_NUM_PROCESSES"])
+        if os.environ.get("DST_PROCESS_ID"):
+            kwargs["process_id"] = int(os.environ["DST_PROCESS_ID"])
+        if os.environ.get("DST_LOCAL_DEVICE_IDS"):
+            kwargs["local_device_ids"] = [
+                int(i) for i in os.environ["DST_LOCAL_DEVICE_IDS"].split(",")]
+    jax.distributed.initialize(**kwargs)
+    maybe_initialize_distributed._done = True
+    return True
 
 
 def get_mesh(axis_name: str = "data", devices: Optional[Sequence] = None) -> Mesh:

@@ -48,15 +48,8 @@ class Collector:
         global _counters
         pending = _counters
         _counters = {}
-        if jax.process_count() > 1:  # pragma: no cover - multihost only
-            from jax.experimental import multihost_utils
-
-            names = sorted(pending)
-            if names:
-                stacked = np.stack([pending[n] for n in names])
-                summed = np.asarray(
-                    multihost_utils.process_allgather(stacked)).sum(axis=0)
-                pending = {n: summed[i] for i, n in enumerate(names)}
+        if jax.process_count() > 1:
+            pending = _allgather_counters(pending)
         for name, m in pending.items():
             self._stats[name] = self._stats.get(name, np.zeros(3)) + m
 
@@ -86,6 +79,31 @@ class Collector:
 
     def reset(self) -> None:
         self._stats = {}
+
+
+def _allgather_counters(pending: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Merge counters across processes (the reference all_reduces a fixed
+    name list, training_stats.py:127-148).  Name sets can DIFFER per process
+    (report0 only accumulates on rank 0), so a fixed-shape array allgather
+    would misalign; serialize each process's dict and merge the union."""
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(
+        json.dumps({n: m.tolist() for n, m in pending.items()}).encode(),
+        np.uint8)
+    lens = np.asarray(multihost_utils.process_allgather(
+        np.array([payload.size], np.int32))).ravel()
+    buf = np.zeros(int(lens.max()), np.uint8)
+    buf[: payload.size] = payload
+    bufs = np.asarray(multihost_utils.process_allgather(buf))
+    if bufs.ndim == 1:  # single process after all
+        bufs, lens = bufs[None], lens[:1]
+    merged: Dict[str, np.ndarray] = {}
+    for rank in range(bufs.shape[0]):
+        d = json.loads(bytes(bufs[rank, : lens[rank]].tobytes()).decode())
+        for name, m in d.items():
+            merged[name] = merged.get(name, np.zeros(3)) + np.asarray(m)
+    return merged
 
 
 default_collector = Collector()
