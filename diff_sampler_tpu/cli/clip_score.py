@@ -41,12 +41,20 @@ def load_captions(path: str = None) -> list:
 @click.option("--batch", type=int, default=64)
 @click.option("--model", "model_name", type=str,
               default="laion/CLIP-ViT-g-14-laion2B-s12B-b42K")
-def main(image_path, caption_path, batch, model_name):
+@click.option("--checkpoint", "checkpoint_path", type=str, default=None,
+              help="Local OpenCLIP torch checkpoint (no-network path; the "
+                   "reference's ViT-g-14 laion2b_s34b_b88k detector)")
+def main(image_path, caption_path, batch, model_name, checkpoint_path):
     captions = load_captions(caption_path)
     ds = ImageFolderDataset(image_path)
     n = min(len(ds), len(captions))
     print0(f"Scoring {n} image/caption pairs...")
-    image_fn, text_fn = make_hf_clip_encoders(model_name)
+    if checkpoint_path:
+        from ..eval.clip_score import make_openclip_encoders
+
+        image_fn, text_fn = make_openclip_encoders(checkpoint_path)
+    else:
+        image_fn, text_fn = make_hf_clip_encoders(model_name)
 
     def batches():
         for s in range(0, n, batch):
