@@ -22,6 +22,12 @@ __all__ = [
 ]
 
 
+def _sigma_col(sigma, dtype) -> "jax.Array":
+    """sigma (scalar or per-sample [B]) -> column [B or 1, 1] that broadcasts
+    against flattened [B, D] data (AMED passes per-sample midpoints)."""
+    return jnp.asarray(sigma, dtype).reshape(-1, 1)
+
+
 class GaussianDenoiser:
     """Exact denoiser for data ~ N(mu, diag(var)).
 
@@ -66,11 +72,11 @@ class DatasetPosteriorDenoiser:
         self.sigma_max = float(sigma_max)
 
     def __call__(self, x, sigma):
-        sigma = jnp.asarray(sigma, x.dtype)
+        s2 = _sigma_col(sigma, x.dtype) ** 2  # [B or 1, 1]
         xb = x.reshape(x.shape[0], -1)  # [B, D]
         # ||x - y||^2 = ||x||^2 - 2 x.y + ||y||^2; the x-norm term is constant
         # across the softmax and drops out.
-        logits = (xb @ self.dataset.T - 0.5 * self.sq_norms) / (sigma**2)  # [B, M]
+        logits = (xb @ self.dataset.T - 0.5 * self.sq_norms) / s2  # [B, M]
         w = jax.nn.softmax(logits, axis=1)
         d = w @ self.dataset  # [B, D]
         return d.reshape(x.shape)
@@ -87,9 +93,9 @@ class IsotropicGaussianDenoiser:
         self.sigma_max = float(sigma_max)
 
     def __call__(self, x, sigma):
-        t = jnp.asarray(sigma, jnp.float32)
+        t2 = _sigma_col(sigma, jnp.float32) ** 2  # [B or 1, 1]
         xb = x.reshape(x.shape[0], -1)
-        d = (self.mu * t**2 + xb) / (1.0 + t**2)
+        d = (self.mu * t2 + xb) / (1.0 + t2)
         return d.reshape(x.shape).astype(x.dtype)
 
 
@@ -124,9 +130,9 @@ class LowRankGaussianDenoiser:
                    lam.astype(np.float32), **kw)
 
     def __call__(self, x, sigma):
-        t = jnp.asarray(sigma, jnp.float32)
+        t2 = _sigma_col(sigma, jnp.float32) ** 2  # [B or 1, 1]
         xb = x.reshape(x.shape[0], -1) - self.mu
-        proj = (xb @ self.U) * (self.lam / (t**2 + self.lam))
+        proj = (xb @ self.U) * (self.lam / (t2 + self.lam))
         d = self.mu + proj @ self.U.T
         return d.reshape(x.shape).astype(x.dtype)
 
@@ -164,30 +170,32 @@ class MixtureGaussianDenoiser:
                 comps.append(LowRankGaussianDenoiser.from_data(dk, rank, **kw))
         return cls(comps, **kw)
 
-    def _log_prob(self, comp, xb, t):
-        """log N(x; mu, Sigma + t^2 I) up to a shared constant."""
+    def _log_prob(self, comp, xb, t2):
+        """log N(x; mu, Sigma + t^2 I) up to a shared constant.
+        t2: per-sample [B or 1] sigma^2."""
         d = xb.shape[1]
         mu = comp.mu
         if isinstance(comp, IsotropicGaussianDenoiser):
             # Sigma = I  ->  Sigma + t^2 I = (1 + t^2) I
-            q = jnp.sum((xb - mu) ** 2, axis=1) / (1.0 + t**2)
-            logdet = d * jnp.log1p(t**2)
+            q = jnp.sum((xb - mu) ** 2, axis=1) / (1.0 + t2)
+            logdet = d * jnp.log1p(t2)
         else:
             # Sigma = U diag(lam) U^T (+ 0 off-subspace) + t^2 I
             c = xb - mu
             proj = c @ comp.U  # [B, q]
             # quadratic form: ||c||^2/t^2 - proj^T (1/t^2 - 1/(t^2+lam)) proj
-            q = (jnp.sum(c**2, axis=1) / t**2
-                 - jnp.sum(proj**2 * (1.0 / t**2 - 1.0 / (t**2 + comp.lam)),
+            q = (jnp.sum(c**2, axis=1) / t2
+                 - jnp.sum(proj**2 * (1.0 / t2[:, None]
+                                      - 1.0 / (t2[:, None] + comp.lam)),
                            axis=1))
-            logdet = ((d - comp.lam.shape[0]) * 2.0 * jnp.log(t)
-                      + jnp.sum(jnp.log(t**2 + comp.lam)))
+            logdet = ((d - comp.lam.shape[0]) * jnp.log(t2)
+                      + jnp.sum(jnp.log(t2[:, None] + comp.lam), axis=1))
         return -0.5 * (q + logdet)
 
     def __call__(self, x, sigma):
-        t = jnp.asarray(sigma, jnp.float32)
+        t2 = _sigma_col(sigma, jnp.float32).reshape(-1) ** 2  # [B or 1]
         xb = x.reshape(x.shape[0], -1)
-        logps = jnp.stack([self._log_prob(c, xb, t) for c in self.components],
+        logps = jnp.stack([self._log_prob(c, xb, t2) for c in self.components],
                           axis=1)  # [B, K]
         w = jax.nn.softmax(logps, axis=1)
         ds = jnp.stack([c(x, sigma).reshape(x.shape[0], -1)
