@@ -111,28 +111,38 @@ def make_amed_train_step(predictor: AMEDPredictor, denoise_b, cfg: AMEDConfig,
         if batch % mb:
             raise ValueError(f"batch {batch} not divisible by batch_gpu {mb}")
         n_acc = batch // mb
-        # per-microbatch teacher trajectories + states (accumulation rounds,
-        # amed training_loop.py:197-205: grads summed over rounds, ONE Adam
-        # step per trajectory segment); conditional tiers get a denoiser
-        # bound to each microbatch's label slice
-        chunks = [latents[a * mb:(a + 1) * mb] for a in range(n_acc)]
-        dens = ([denoise_factory(labels[a * mb:(a + 1) * mb])
-                 for a in range(n_acc)]
-                if denoise_factory is not None else [denoise_b] * n_acc)
-        teas = [jax.lax.stop_gradient(teacher_traj(d, c))
-                for d, c in zip(dens, chunks)]
-        xs = [c * jnp.float32(t_steps[0]) for c in chunks]
-        buffers = [([], []) for _ in range(n_acc)]
+        # Accumulation rounds are a lax.scan over the microbatch axis (amed
+        # training_loop.py:197-205: grads summed over rounds, ONE Adam step
+        # per trajectory segment) -- the graph size stays constant in n_acc,
+        # so the SD config's forced 128//batch_gpu rounds compile fine.
+        lat = latents.reshape((n_acc, mb) + latents.shape[1:])
+        lab = (None if labels is None
+               else labels.reshape((n_acc, mb) + labels.shape[1:]))
+
+        def micro_den(cond_a):
+            return (denoise_factory(cond_a) if denoise_factory is not None
+                    else denoise_b)
+
+        if lab is None:
+            teas = jax.lax.map(lambda l: teacher_traj(micro_den(None), l), lat)
+        else:
+            teas = jax.lax.map(
+                lambda lc: teacher_traj(micro_den(lc[1]), lc[0]), (lat, lab))
+        # [n_acc, n_seg, mb, ...] -> [n_seg, n_acc, mb, ...]
+        teas = jax.lax.stop_gradient(jnp.swapaxes(teas, 0, 1))
+        xs = lat * jnp.float32(t_steps[0])  # [n_acc, mb, ...]
+        buffers = ([], [])  # stacked multistep history, leaves [n_acc, ...]
         losses = []
         for step_idx in range(cfg.num_steps - 1):
             seg_t = t_steps[step_idx : step_idx + 2]
 
-            def seg_loss(pp, x_in, tea_target, bufs, den):
+            def seg_loss(pp, x_in, tea_target, bufs, cond_a):
                 def pred_apply(b, tc, tn):
                     return predictor.apply({"params": pp}, b, tc, tn)
 
                 res, bufs_out, _ = _amed_family(
-                    den, pred_apply, x_in / jnp.float32(seg_t[0]), seg_t,
+                    micro_den(cond_a), pred_apply,
+                    x_in / jnp.float32(seg_t[0]), seg_t,
                     mode=cfg.sampler_stu, afs=cfg.afs, max_order=cfg.max_order,
                     predict_x0=cfg.predict_x0,
                     lower_order_final=cfg.lower_order_final,
@@ -141,25 +151,27 @@ def make_amed_train_step(predictor: AMEDPredictor, denoise_b, cfg: AMEDConfig,
                 loss = ((res.x - tea_target) ** 2).sum() / x_in.shape[0]
                 return loss, (res.x, bufs_out)
 
-            grads = None
-            step_loss = 0.0
-            for a in range(n_acc):
-                (loss, (stu, bufs_a)), g = jax.value_and_grad(
-                    seg_loss, has_aux=True)(pred_params, xs[a],
-                                            teas[a][step_idx], buffers[a],
-                                            dens[a])
-                grads = g if grads is None else jax.tree.map(
-                    jnp.add, grads, g)
-                buffers[a] = bufs_a
-                step_loss = step_loss + loss / n_acc
-                xs[a] = (teas[a][step_idx] if single_step_stu
-                         else jax.lax.stop_gradient(stu))
+            def micro(grads_acc, scanned):
+                x_a, tea_a, bufs_a, cond_a = scanned
+                (loss, (stu, bufs_out)), g = jax.value_and_grad(
+                    seg_loss, has_aux=True)(pred_params, x_a, tea_a, bufs_a,
+                                            cond_a)
+                return (jax.tree.map(jnp.add, grads_acc, g),
+                        (loss, stu, bufs_out))
+
+            zero_g = jax.tree.map(jnp.zeros_like, pred_params)
+            grads, (seg_losses, stus, buffers) = jax.lax.scan(
+                micro, zero_g, (xs, teas[step_idx], buffers, lab))
             grads = jax.tree.map(
                 lambda g: jnp.nan_to_num(g / n_acc, nan=0.0, posinf=1e5,
                                          neginf=-1e5), grads)
             updates, opt_state = optimizer.update(grads, opt_state, pred_params)
             pred_params = optax.apply_updates(pred_params, updates)
-            losses.append(step_loss)
+            losses.append(seg_losses.mean())
+            # handoff: single-step students restart from the teacher state
+            # (training_loop.py:213-217); multistep continue detached
+            xs = (teas[step_idx] if single_step_stu
+                  else jax.lax.stop_gradient(stus))
         losses = jnp.stack(losses)
         return pred_params, opt_state, {"loss_per_step": losses,
                                         "loss": losses.mean()}
