@@ -9,9 +9,11 @@ flash attention), with fp32 softmax matching the reference's AttentionOp
 (`guided_diffusion/unet.py:328-392`).
 
 Layout: q, k, v are [B, T, d] per (batch*head); d is zero-padded to a lane
-multiple of 128 outside the kernel.  The backward pass recomputes attention
-naively under custom_vjp (training shapes are <= 64x64 tokens, where the
-quadratic recompute fits easily).
+multiple of 128 outside the kernel.  The backward pass is a pair of Pallas
+kernels (FlashAttention-2 style: dQ over k-tiles, dK/dV over q-tiles,
+recomputing P from the forward's saved logsumexp) for T >=
+_FLASH_BWD_MIN_TOKENS, so the [T, T] logits never touch HBM in training
+either; small T falls back to the einsum recompute under custom_vjp.
 
 Measured on one v5e chip (chained, delta-timed; d=64, bf16):
   T=4096 (SD 512px): 1.08 ms vs 2.97 ms einsum (2.7x);
@@ -39,8 +41,8 @@ __all__ = ["flash_attention", "sdpa"]
 _NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len,
-                 kv_len):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
+                 seq_len, kv_len):
     """One (bh, q_tile) program: online softmax over K tiles.
 
     kv_len is the zero-padded key count; key positions >= seq_len are masked
@@ -82,8 +84,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_len,
     acc = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, _m, l = jax.lax.fori_loop(0, num_k, body, (acc, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    # per-row logsumexp, saved for the flash backward (P = exp(S - lse));
+    # [B, 1, TQ] layout: a 2-D [B, TQ] block would violate the TPU (8, 128)
+    # sublane/lane block rule, a singleton middle dim satisfies it exactly
+    lse_ref[0, 0] = (m + jnp.log(l)).reshape(-1)
 
 
 def _pad_to(x, axis, multiple):
@@ -98,8 +104,9 @@ def _pad_to(x, axis, multiple):
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "interpret"))
-def _flash_fwd(q, k, v, scale, block_q=512, block_k=1024, interpret=False):
-    """q, k, v: [B, T, d] -> [B, T, d]."""
+def _flash_fwd_res(q, k, v, scale, block_q=512, block_k=1024,
+                   interpret=False):
+    """q, k, v: [B, T, d] -> (out [B, T, d], lse [B, Tq_padded] f32)."""
     b, t, d = q.shape
     q, _ = _pad_to(q, 2, 128)
     k, _ = _pad_to(k, 2, 128)
@@ -115,7 +122,7 @@ def _flash_fwd(q, k, v, scale, block_q=512, block_k=1024, interpret=False):
     tq, tk = q.shape[1], k.shape[1]
 
     grid = (b, tq // block_q)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, block_k=block_k,
                           seq_len=t, kv_len=tk),
         grid=grid,
@@ -124,11 +131,161 @@ def _flash_fwd(q, k, v, scale, block_q=512, block_k=1024, interpret=False):
             pl.BlockSpec((1, tk, dp), lambda bi, qi: (bi, 0, 0)),
             pl.BlockSpec((1, tk, dp), lambda bi, qi: (bi, 0, 0)),
         ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, qi: (bi, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tq, dp), q.dtype),
+            jax.ShapeDtypeStruct((b, 1, tq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :t, :d], lse
+
+
+def _flash_fwd(q, k, v, scale, block_q=512, block_k=1024, interpret=False):
+    """q, k, v: [B, T, d] -> [B, T, d]."""
+    return _flash_fwd_res(q, k, v, scale, block_q, block_k, interpret)[0]
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref,
+                   *, scale, block_k, kv_len):
+    """dQ for one (bh, q_tile): loop over k tiles, recompute P from lse.
+
+    stats: [1, 2, bq] -- row 0 = lse, row 1 = delta (packed to satisfy the
+    TPU block-shape rule with one array).
+    Zero-padded keys contribute nothing: their k/v rows are zero, so both
+    dP (do @ v^T) and the dS @ k product vanish for those columns."""
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = stats_ref[0, 0].reshape(-1, 1)
+    delta = stats_ref[0, 1].reshape(-1, 1)
+    num_k = kv_len // block_k
+
+    def body(i, dq_acc):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        logits = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = jnp.exp(logits - lse)  # [bq, bk] f32
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq_acc = dq_acc + scale * jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dq_acc
+
+    dq = jax.lax.fori_loop(
+        0, num_k, body, jnp.zeros(q.shape[:1] + (q.shape[1],), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref,
+                    dk_ref, dv_ref, *, scale, block_q, q_len):
+    """dK/dV for one (bh, k_tile): loop over q tiles.
+
+    Zero-padded q rows have do == 0 and delta == 0, so their P^T @ do and
+    dS^T @ q contributions vanish; padded key rows are sliced off outside."""
+    k = k_ref[0]
+    v = v_ref[0]
+    num_q = q_len // block_q
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse = stats_ref[0, 0, pl.ds(i * block_q, block_q)].reshape(-1, 1)
+        delta = stats_ref[0, 1, pl.ds(i * block_q, block_q)].reshape(-1, 1)
+        logits = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk]
+        p = jnp.exp(logits - lse)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bk, d]
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_acc = dk_acc + scale * jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bk, d]
+        return dk_acc, dv_acc
+
+    zero = jnp.zeros(k.shape, jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (zero, zero))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def _flash_bwd(q, k, v, out, lse, g, scale, block_q=512, block_k=512,
+               interpret=False):
+    """Flash backward: (dq, dk, dv) without materializing [T, T] in HBM."""
+    b, t, d = q.shape
+    delta = jnp.einsum("btd,btd->bt", g.astype(jnp.float32),
+                       out.astype(jnp.float32))  # rowsum(dO * O)
+    g = g.astype(q.dtype)
+    q, _ = _pad_to(q, 2, 128)
+    k, _ = _pad_to(k, 2, 128)
+    v, _ = _pad_to(v, 2, 128)
+    g, _ = _pad_to(g, 2, 128)
+    dp = q.shape[2]
+    block_q = min(block_q, ((t + 127) // 128) * 128)
+    block_k = min(block_k, ((t + 127) // 128) * 128)
+    q, _ = _pad_to(q, 1, block_q)
+    g, _ = _pad_to(g, 1, block_q)
+    delta, _ = _pad_to(delta, 1, block_q)
+    k, _ = _pad_to(k, 1, block_k)
+    v, _ = _pad_to(v, 1, block_k)
+    tq, tk = q.shape[1], k.shape[1]
+    if lse.shape[2] != tq:  # fwd/bwd block_q may differ
+        lse = _pad_to(lse, 2, block_q)[0][:, :, :tq]
+    # stats rows: 0 = lse, 1 = delta ([B, 2, TQ] satisfies the TPU block
+    # rule via the middle dim being FULL in every BlockSpec)
+    stats = jnp.concatenate([lse, delta[:, None, :]], axis=1)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k,
+                          kv_len=tk),
+        grid=(b, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, tk, dp), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, tk, dp), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, block_q, dp), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, 2, block_q), lambda bi, qi: (bi, 0, qi)),
+        ],
         out_specs=pl.BlockSpec((1, block_q, dp), lambda bi, qi: (bi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, tq, dp), q.dtype),
         interpret=interpret,
-    )(q, k, v)
-    return out[:, :t, :d]
+    )(q, k, v, g, stats)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q,
+                          q_len=tq),
+        grid=(b, tk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, tq, dp), lambda bi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, tq, dp), lambda bi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, 2, tq), lambda bi, ki: (bi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dp), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda bi, ki: (bi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tk, dp), q.dtype),
+            jax.ShapeDtypeStruct((b, tk, dp), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, g, stats)
+    return dq[:, :t, :d], dk[:, :t, :d], dv[:, :t, :d]
 
 
 def _reference_sdpa(q, k, v, scale):
@@ -150,12 +307,33 @@ def flash_attention(q, k, v, scale, interpret=False):
     return _flash_fwd(q, k, v, scale, interpret=interpret)
 
 
+# Backward dispatch is MEMORY-aware, not speed-aware: on v5e the
+# einsum-recompute VJP is FASTER (measured T=4096 B=8 d=64 bf16, chained
+# fori_loop, delta-timed: 5.1 ms fwd+bwd vs 40.7 ms with the Pallas
+# backward -- XLA schedules the fused recompute well, while the two-kernel
+# flash backward pays recomputed logits plus dim-0 contractions).  But the
+# recompute materializes the [B, T, T] f32 logits in HBM: at the SD-tier
+# training shape (T=4096, microbatch x heads >= 32) that is 4+ GB and OOMs
+# a 16 GB chip.  So: einsum below the byte threshold, Pallas flash backward
+# (O(T d) memory) above it.  Tests monkeypatch the threshold to 0.
+_FLASH_BWD_MIN_LOGITS_BYTES = int(1.5 * 1024**3)
+
+
+def _use_flash_bwd(b, t):
+    return b * t * t * 4 >= _FLASH_BWD_MIN_LOGITS_BYTES
+
+
 def _fwd(q, k, v, scale, interpret):
-    return flash_attention(q, k, v, scale, interpret), (q, k, v)
+    if _use_flash_bwd(q.shape[0], q.shape[1]):
+        out, lse = _flash_fwd_res(q, k, v, scale, interpret=interpret)
+        return out, (q, k, v, out, lse)
+    return _flash_fwd(q, k, v, scale, interpret=interpret), (q, k, v, None, None)
 
 
 def _bwd(scale, interpret, res, g):
-    q, k, v = res
+    q, k, v, out, lse = res
+    if lse is not None:
+        return _flash_bwd(q, k, v, out, lse, g, scale, interpret=interpret)
     _, vjp = jax.vjp(lambda q_, k_, v_: _reference_sdpa(q_, k_, v_, scale),
                      q, k, v)
     return vjp(g)

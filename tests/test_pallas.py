@@ -61,6 +61,56 @@ def test_flash_bf16():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("t,d", [(512, 64), (300, 64), (257, 80)])
+def test_flash_backward_kernels_match_einsum_vjp(t, d, monkeypatch):
+    """The Pallas backward (dq/dk/dv kernels recomputing P from the saved
+    logsumexp) matches the einsum-recompute VJP -- including ragged T, where
+    zero-padded keys/rows must contribute nothing to any gradient."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    monkeypatch.setattr(PA, "_FLASH_BWD_MIN_LOGITS_BYTES", 0)  # force flash bwd
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(2, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, t, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, t, d).astype(np.float32))
+    s = float(1 / np.sqrt(d))
+
+    def loss_flash(q_, k_, v_):
+        out = PA.flash_attention(q_, k_, v_, s, True)
+        return (out * jnp.cos(out)).sum()  # non-trivial cotangent
+
+    def loss_ref(q_, k_, v_):
+        out = _reference_sdpa(q_, k_, v_, s)
+        return (out * jnp.cos(out)).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4, err_msg=f"d{name}")
+        assert not np.isnan(np.asarray(a)).any()
+
+
+def test_flash_backward_dispatch_threshold():
+    """Below the [B, T, T] byte threshold the einsum-recompute VJP is used
+    (faster on v5e, residuals carry no lse); above it the Pallas backward
+    keeps memory at O(T d). Both paths must produce gradients."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    rng = np.random.RandomState(5)
+    args = [jnp.asarray(rng.randn(1, 256, 64).astype(np.float32))
+            for _ in range(3)]
+    s = float(1 / np.sqrt(64))
+    # small logits -> einsum path (default threshold 1.5 GiB)
+    assert not PA._use_flash_bwd(1, 256)
+    # SD-tier training shape -> flash backward
+    assert PA._use_flash_bwd(32, 4096)
+    g_small = jax.grad(
+        lambda q_: PA.flash_attention(q_, args[1], args[2], s, True).sum())(
+            args[0])
+    assert np.isfinite(np.asarray(g_small)).all()
+
+
 @pytest.mark.parametrize("t,d", [(300, 64), (1000, 128), (130, 64), (257, 80)])
 def test_flash_ragged_lengths(t, d):
     """Ragged T: zero-padded keys masked to -inf in-kernel stay exact."""
