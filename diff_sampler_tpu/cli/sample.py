@@ -136,20 +136,36 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
     dtype = jnp.bfloat16 if bf16 else jnp.float32
 
     # -- model resolution: torch ckpt / framework snapshot / run dir ------
+    LATENT = ("ms_coco", "lsun_bedroom_ldm", "ffhq_ldm")
     restored = {}
     if model_path is not None and (model_path.endswith(".npz")
                                    or os.path.isdir(model_path)
                                    or model_path.isdigit()):
-        from ..models.factory import build_edm_model
+        from ..models.factory import build_edm_model, build_ldm_model
         from ..utils import checkpoint as ckpt
 
         npz, restored = _resolve_snapshot(model_path)
-        module = build_edm_model(
-            dataset_name,
-            use_step_condition=restored.get("use_step_condition", False),
-            dtype=dtype)
-        params = ckpt.load_params(npz)["params"]
-        model_source = "edm"
+        if dataset_name in LATENT:
+            # Trained LATENT student (sfd sample.py:110-135,189-196): rebuild
+            # the LDM stack from the ORIGINAL checkpoint (VAE + text towers),
+            # then swap in the distilled U-Net weights from the snapshot.
+            src_ckpt = restored.get("model_path")
+            module, _ = build_ldm_model(
+                dataset_name, src_ckpt,
+                guidance_type=restored.get("guidance_type") or guidance_type,
+                guidance_rate=restored.get("guidance_rate", guidance_rate)
+                or 1.0, dtype=dtype)
+            params = jax.tree.map(jnp.asarray, ckpt.load_params(npz)["params"])
+            module.latent_diffusion.unet_params = params
+            guidance_rate = restored.get("guidance_rate", guidance_rate)
+            model_source = "sd" if dataset_name == "ms_coco" else "ldm"
+        else:
+            module = build_edm_model(
+                dataset_name,
+                use_step_condition=restored.get("use_step_condition", False),
+                dtype=dtype)
+            params = ckpt.load_params(npz)["params"]
+            model_source = "edm"
         # SFD restore: sampling settings come from the training config
         # (sfd sample.py:112-135); --num_steps only honored for SFD-v.
         if restored:

@@ -199,6 +199,40 @@ def test_train_sfd_cli_latent_tier(tmp_path, monkeypatch, dataset, extra):
 
 
 @pytest.mark.slow
+def test_latent_student_train_then_sample_roundtrip(tmp_path, monkeypatch):
+    """Train a tiny latent SFD student via the CLI, then SAMPLE from the run
+    dir: the sample CLI must rebuild the LDM stack, swap in the distilled
+    U-Net weights, restore the training schedule, and decode to PNGs
+    (sfd sample.py:110-135,189-196)."""
+    from click.testing import CliRunner
+
+    from diff_sampler_tpu.cli.sample import main as sample_main
+    from diff_sampler_tpu.cli.train_sfd import main as train_main
+    from diff_sampler_tpu.models import ldm as ldm_mod
+
+    monkeypatch.setattr(ldm_mod, "LDM_CONFIGS", _tiny_ldm_configs())
+    out = tmp_path / "exps"
+    res = CliRunner().invoke(train_main, [
+        "--dataset_name=lsun_bedroom_ldm", f"--outdir={out}",
+        "--model_path=random", "--total_kimg=1", "--batch=256",
+        "--num_steps=3", "--m=1", "--schedule_type=discrete",
+        "--schedule_rho=1", "--afs=False", "--guidance_type=uncond",
+        "--tick=2", "--snap=2"], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    run_dir = next(iter(out.iterdir()))
+
+    samples = tmp_path / "samples"
+    res = CliRunner().invoke(sample_main, [
+        "--dataset_name=lsun_bedroom_ldm", f"--model_path={run_dir}",
+        "--seeds=0-7", "--batch=8", f"--outdir={samples}",
+        "--subdirs=False"], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert "Restored SFD sampling settings" in res.output
+    pngs = sorted(samples.glob("*.png"))
+    assert len(pngs) == 8, res.output
+
+
+@pytest.mark.slow
 def test_train_sfd_cli_ms_coco_forces_128_accumulation(tmp_path, monkeypatch):
     """ms_coco forces an effective batch of 128 via accumulation rounds of
     fresh latents (training_loop.py:227,246): --batch=64 -> 2 rounds of 64,
