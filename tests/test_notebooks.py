@@ -14,7 +14,8 @@ ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ["amed_diffusers_plugin.ipynb",
-                                  "quickstart.ipynb"])
+                                  "quickstart.ipynb",
+                                  "sfd_latent_training.ipynb"])
 def test_notebook_executes(name):
     path = os.path.join(ROOT, "examples", name)
     nb = nbformat.read(path, as_version=4)
