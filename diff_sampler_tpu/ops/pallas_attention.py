@@ -11,9 +11,11 @@ flash attention), with fp32 softmax matching the reference's AttentionOp
 Layout: q, k, v are [B, T, d] per (batch*head); d is zero-padded to a lane
 multiple of 128 outside the kernel.  The backward pass is a pair of Pallas
 kernels (FlashAttention-2 style: dQ over k-tiles, dK/dV over q-tiles,
-recomputing P from the forward's saved logsumexp) for T >=
-_FLASH_BWD_MIN_TOKENS, so the [T, T] logits never touch HBM in training
-either; small T falls back to the einsum recompute under custom_vjp.
+recomputing P from the forward's saved logsumexp) whenever the [B, T, T]
+f32 logits would exceed _FLASH_BWD_MIN_LOGITS_BYTES, so the logits never
+touch HBM in training either -- and with the transposed dK/dV kernel the
+flash backward is also 2.3-2.7x FASTER than the einsum recompute there;
+smaller shapes fall back to the einsum recompute under custom_vjp.
 
 Measured on one v5e chip (chained, delta-timed; d=64, bf16):
   T=4096 (SD 512px): 1.08 ms vs 2.97 ms einsum (2.7x);
@@ -185,10 +187,16 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref,
                     dk_ref, dv_ref, *, scale, block_q, q_len):
-    """dK/dV for one (bh, k_tile): loop over q tiles.
+    """dK/dV for one (bh, k_tile): loop over q tiles, TRANSPOSED layout.
 
-    Zero-padded q rows have do == 0 and delta == 0, so their P^T @ do and
-    dS^T @ q contributions vanish; padded key rows are sliced off outside."""
+    All quantities are computed k-major ([bk, bq] logits via k @ q^T) so
+    every matmul is either a lane-dim contraction or a standard row-major
+    product -- the original q-major formulation needed dim-0 x dim-0
+    contractions (P^T @ dO, dS^T @ q) that cost Mosaic an in-kernel
+    transpose each (see BENCH_NOTES for the measured delta).
+
+    Zero-padded q rows have do == 0 and delta == 0, so their P_T @ do and
+    dS_T @ q contributions vanish; padded key rows are sliced off outside."""
     k = k_ref[0]
     v = v_ref[0]
     num_q = q_len // block_q
@@ -197,20 +205,20 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref,
         dk_acc, dv_acc = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :]
         do = do_ref[0, pl.ds(i * block_q, block_q), :]
-        lse = stats_ref[0, 0, pl.ds(i * block_q, block_q)].reshape(-1, 1)
-        delta = stats_ref[0, 1, pl.ds(i * block_q, block_q)].reshape(-1, 1)
-        logits = scale * jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [bq, bk]
-        p = jnp.exp(logits - lse)
+        lse = stats_ref[0, 0, pl.ds(i * block_q, block_q)].reshape(1, -1)
+        delta = stats_ref[0, 1, pl.ds(i * block_q, block_q)].reshape(1, -1)
+        logits_t = scale * jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bk, bq]
+        p_t = jnp.exp(logits_t - lse)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [bk, d]
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        ds_t = p_t * (dp_t - delta)
         dk_acc = dk_acc + scale * jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [bk, d]
         return dk_acc, dv_acc
 
@@ -307,16 +315,21 @@ def flash_attention(q, k, v, scale, interpret=False):
     return _flash_fwd(q, k, v, scale, interpret=interpret)
 
 
-# Backward dispatch is MEMORY-aware, not speed-aware: on v5e the
-# einsum-recompute VJP is FASTER (measured T=4096 B=8 d=64 bf16, chained
-# fori_loop, delta-timed: 5.1 ms fwd+bwd vs 40.7 ms with the Pallas
-# backward -- XLA schedules the fused recompute well, while the two-kernel
-# flash backward pays recomputed logits plus dim-0 contractions).  But the
-# recompute materializes the [B, T, T] f32 logits in HBM: at the SD-tier
-# training shape (T=4096, microbatch x heads >= 32) that is 4+ GB and OOMs
-# a 16 GB chip.  So: einsum below the byte threshold, Pallas flash backward
-# (O(T d) memory) above it.  Tests monkeypatch the threshold to 0.
-_FLASH_BWD_MIN_LOGITS_BYTES = int(1.5 * 1024**3)
+# Backward dispatch by [B, T, T] f32 logits size.  With the transposed
+# (k-major) dK/dV kernel the Pallas backward is both faster AND O(T d)
+# memory once the logits are large (v5e, d=64 bf16, chained fori_loop,
+# compile-excluded median delta timing, fwd+bwd per call):
+#   B=8  T=4096 (512 MB): flash 2.15 ms vs einsum 5.01 ms (2.3x)
+#   B=8  T=2048 (128 MB): flash 0.59 ms vs einsum 1.50 ms (2.5x)
+#   B=16 T=1024 ( 64 MB): flash 0.25 ms vs einsum 0.30 ms (1.2x)
+#   B=8  T=1024 ( 32 MB): flash 0.17 ms vs einsum 0.12 ms (einsum wins)
+# The crossover tracks the logits BYTES, not T alone (B=2 T=4096 and
+# B=32 T=1024, both 128 MB, both ~2.7x) -- the einsum VJP is HBM-bound on
+# the materialized logits.  64 MB is the measured crossover; below it the
+# fused XLA recompute wins, above it the flash backward wins outright and
+# at SD-tier shapes (T=4096, microbatch x heads >= 32) it also avoids the
+# 4+ GB logits that would OOM a 16 GB chip.  Tests monkeypatch this to 0.
+_FLASH_BWD_MIN_LOGITS_BYTES = 64 * 1024**2
 
 
 def _use_flash_bwd(b, t):

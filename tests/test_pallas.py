@@ -93,15 +93,17 @@ def test_flash_backward_kernels_match_einsum_vjp(t, d, monkeypatch):
 
 def test_flash_backward_dispatch_threshold():
     """Below the [B, T, T] byte threshold the einsum-recompute VJP is used
-    (faster on v5e, residuals carry no lse); above it the Pallas backward
-    keeps memory at O(T d). Both paths must produce gradients."""
+    (faster on v5e at small logits, residuals carry no lse); above it the
+    Pallas backward is faster AND keeps memory at O(T d). Both paths must
+    produce gradients."""
     from diff_sampler_tpu.ops import pallas_attention as PA
 
     rng = np.random.RandomState(5)
     args = [jnp.asarray(rng.randn(1, 256, 64).astype(np.float32))
             for _ in range(3)]
     s = float(1 / np.sqrt(64))
-    # small logits -> einsum path (default threshold 1.5 GiB)
+    # small logits -> einsum path (default threshold 64 MB, the measured
+    # v5e speed crossover)
     assert not PA._use_flash_bwd(1, 256)
     # SD-tier training shape -> flash backward
     assert PA._use_flash_bwd(32, 4096)
