@@ -214,6 +214,14 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
         return
 
     explicit_t = tuple(ast.literal_eval(t_steps)) if t_steps else None
+    # LDM/SD: sample in latent space with the model's discrete schedule --
+    # resolved BEFORE the GITS search so the dp teacher runs on the same
+    # schedule the final sampler uses.
+    sched_kw = {}
+    if model_source in ("ldm", "sd"):
+        sched_kw = dict(sigma_fn=module.sigma, sigma_inv_fn=module.sigma_inv)
+        if schedule_type == "polynomial" and t_steps is None:
+            schedule_type, schedule_rho = "discrete", 1.0
     dp_list = None
     if dp:
         from ..gits.search import GITSConfig, gits_schedule
@@ -223,7 +231,23 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
                           solver=solver, metric=metric, coeff=coeff,
                           schedule_type=schedule_type, schedule_rho=schedule_rho,
                           afs=afs, batch_size=max_batch_size)
-        dp_list, dp_sigmas = gits_schedule(den, shape, gcfg)
+        gits_kw = dict(sched_kw)
+        if model_source == "sd" and per_seed_cond is not None:
+            # warmup trajectories need caption conditioning too
+            # (gits_utils.py:63-110); one caption embedding per warmup seed
+            texts_w = [captions[i % len(captions)] for i in range(num_warmup)]
+            warm_cond = np.concatenate(
+                [np.asarray(ld.get_learned_conditioning(texts_w[i:i + 64]))
+                 for i in range(0, len(texts_w), 64)])
+            uc = cond.get("unconditional_condition")
+            gits_kw.update(
+                per_seed_cond=warm_cond,
+                denoise_with_cond=lambda x, t, c: module(
+                    x, t, condition=c,
+                    unconditional_condition=(
+                        jnp.broadcast_to(uc, c.shape) if uc is not None
+                        else None)))
+        dp_list, dp_sigmas = gits_schedule(den, shape, gcfg, **gits_kw)
         print0(f"GITS dp_list: {dp_list}")
         print0(f"GITS schedule: {np.round(dp_sigmas, 4).tolist()}")
         num_steps = num_steps_tea
@@ -249,9 +273,13 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
                 x, t, condition=c,
                 unconditional_condition=(
                     jnp.broadcast_to(uc, c.shape) if uc is not None else None)))
-    elif getattr(module, "label_dim", 0):
+    elif model_source not in ("ldm", "sd") and getattr(module, "label_dim", 0):
         # per-seed random class labels (sample.py:276-281); int labels for
-        # the classifier-guided ADM path, one-hot for EDM.
+        # the classifier-guided ADM path, one-hot for EDM.  LDM/SD are
+        # excluded: their conditioning is the prompt context already bound
+        # into `den` (or per_seed_cond above), and CFGPrecond takes
+        # condition=, not class_labels= (its label_dim=1 only marks it
+        # conditional, networks_edm.py:630-763).
         import flax.linen as fnn
 
         if isinstance(module, fnn.Module):
@@ -264,14 +292,6 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
                 label_dim=module.label_dim, label_kind="int",
                 denoise_with_labels=lambda x, t, lab: module(
                     x, t, class_labels=lab))
-    # LDM/SD: sample in latent space with the model's discrete schedule.
-    sched_kw = {}
-    if model_source in ("ldm", "sd"):
-        sched_kw = dict(sigma_fn=module.sigma, sigma_inv_fn=module.sigma_inv)
-        if schedule_type == "polynomial" and t_steps is None:
-            import dataclasses as _dc
-
-            cfg = _dc.replace(cfg, schedule_type="discrete", schedule_rho=1.0)
     if return_inters and model_source in ("ldm", "sd"):
         raise click.ClickException(
             "--return_inters is not supported for latent models: the "

@@ -65,8 +65,11 @@ LATENT_DATASETS = ("ms_coco", "lsun_bedroom_ldm", "ffhq_ldm")
 @click.option("--prompts_path", type=str, default=None,
               help="MS-COCO captions CSV with a 'text' column "
                    "(sfd training_loop.py:168-178)")
-@click.option("--remat", type=bool, default=True,
-              help="Block-granular rematerialization (fits batch>=64 on 16GB)")
+@click.option("--remat", type=bool, default=None,
+              help="Block-granular rematerialization (training memory). "
+                   "Default: on for pixel tiers (fits batch>=64 on 16GB), "
+                   "off for latent tiers (--batch_gpu accumulation is the "
+                   "first memory lever there)")
 @click.option("--resume", type=str, default=None,
               help="Snapshot .npz to resume params+optimizer state from "
                    "(true resume; the reference's is commented out)")
@@ -86,6 +89,11 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
 
     maybe_initialize_distributed()
     latent = dataset_name in LATENT_DATASETS
+    if remat is None:
+        # pixel tiers need it for batch>=64 on 16GB; latent tiers default
+        # off (microbatch accumulation is the first lever there; remat
+        # trades ~30% recompute for activation memory when opted in)
+        remat = not latent
     cfg = SFDConfig(num_steps=num_steps, M=M, sampler_tea=sampler_tea,
                     schedule_type=schedule_type, schedule_rho=schedule_rho,
                     afs=afs, max_order=max_order, predict_x0=predict_x0,
@@ -106,32 +114,23 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
         return
 
     run_dir = ckpt.create_run_dir(outdir, run_desc)
-    logger = Logger(os.path.join(run_dir, "log.txt"), "a")
-    ckpt.save_config(os.path.join(run_dir, "training_options.json"), options)
+    logger = Logger(os.path.join(run_dir, "log.txt")
+                    if process_index() == 0 else None, "a")
+    if process_index() == 0:
+        ckpt.save_config(os.path.join(run_dir, "training_options.json"), options)
     print0(f"Run dir: {run_dir}")
 
-    # Gradient accumulation: ms_coco forces an EFFECTIVE batch of 128 by
-    # drawing 128//batch fresh rounds of `batch` latents per iteration
-    # (training_loop.py:227,246: num_acc_rounds * batch_gpu images/iter);
-    # other tiers honor --batch_gpu (total `batch` split into microbatches).
-    if dataset_name == "ms_coco":
-        n_acc = max(1, 128 // batch)
-        mb = batch
-    elif batch_gpu is not None and batch_gpu < batch:
-        if batch % batch_gpu:
-            raise click.ClickException(
-                f"batch {batch} not divisible by batch_gpu {batch_gpu}")
-        n_acc = batch // batch_gpu
-        mb = batch_gpu
-    else:
-        n_acc = 1
-        mb = batch
+    n_acc, mb = _accumulation(dataset_name, batch, batch_gpu)
     eff_batch = n_acc * mb
     if n_acc > 1:
         print0(f"Gradient accumulation: {n_acc} rounds of {mb}")
 
-    # lr drops 10x at half training (training_loop.py:297-301).
-    half = (total_kimg * 1000) // (2 * eff_batch)
+    # lr drops 10x at half training (training_loop.py:297-301).  optax
+    # schedules count OPTIMIZER UPDATES, and the train step performs one
+    # update per trajectory segment (num_steps-1 per iteration, sfd.py seg
+    # scan), so the boundary is expressed in updates, not iterations.
+    sfdv = use_step_condition and not is_second_stage and not latent
+    half = _lr_drop_updates(total_kimg, eff_batch, num_steps, sfdv, seed)
     schedule = optax.join_schedules([optax.constant_schedule(lr),
                                      optax.constant_schedule(lr / 10.0)], [half])
     optimizer = optax.adam(schedule)
@@ -140,7 +139,7 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
     context_fn = None
     if latent:
         precond, ld, params = _create_latent_student(
-            dataset_name, model_path, guidance_type, guidance_rate)
+            dataset_name, model_path, guidance_type, guidance_rate, remat)
         step_builder = lambda c: make_ldm_train_step(
             _unet_apply(ld.unet), precond, c, optimizer, n_acc=n_acc)
         res, chn = precond.img_resolution, precond.img_channels
@@ -252,6 +251,41 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
     logger.close()
 
 
+def _accumulation(dataset_name, batch, batch_gpu):
+    """(accumulation rounds, microbatch).
+
+    ms_coco forces an EFFECTIVE batch of 128 (training_loop.py:227:
+    num_acc_rounds = 128 // batch); the microbatch honors --batch_gpu when
+    given (memory cap) -- intentional divergence: the reference recomputes
+    rounds from batch_size alone at :227, clobbering its own --batch-gpu
+    accumulation from :165, so `--batch=128 --batch_gpu=32` there runs one
+    oversized microbatch.  Other tiers split `batch` into --batch_gpu
+    microbatches."""
+    if dataset_name == "ms_coco":
+        mb = batch_gpu if (batch_gpu is not None and batch_gpu < batch) else batch
+        return max(1, 128 // mb), mb
+    if batch_gpu is not None and batch_gpu < batch:
+        if batch % batch_gpu:
+            raise click.ClickException(
+                f"batch {batch} not divisible by batch_gpu {batch_gpu}")
+        return batch // batch_gpu, batch_gpu
+    return 1, batch
+
+
+def _lr_drop_updates(total_kimg, eff_batch, num_steps, sfdv, seed):
+    """Optimizer-update index of the half-training 10x lr drop.
+
+    The train step runs one optax update per trajectory segment
+    (num_steps-1 per iteration); SFD-v draws num_steps per iteration from
+    the seeded RandomState the training loop also uses, so replay a copy
+    to count its updates exactly."""
+    half_iters = (total_kimg * 1000) // (2 * eff_batch)
+    if not sfdv:
+        return half_iters * (num_steps - 1)
+    sim = np.random.RandomState(seed)
+    return int(sum(int(sim.randint(4, 8)) - 1 for _ in range(half_iters)))
+
+
 def _unet_apply(unet):
     """Functional latent-U-Net call closing over the module only -- params
     are an explicit argument so distillation gradients flow into them."""
@@ -265,7 +299,7 @@ def _unet_apply(unet):
 
 
 def _create_latent_student(dataset_name, model_path, guidance_type,
-                           guidance_rate):
+                           guidance_rate, remat=False):
     """LDM/SD student: CFGPrecond math + trainable latent-U-Net params
     (sfd training_loop.py:85-110 create_model LDM branch; guidance asserts
     mirror :92,97,103)."""
@@ -278,7 +312,8 @@ def _create_latent_student(dataset_name, model_path, guidance_type,
             f"{dataset_name} trains with --guidance_type=uncond")
     precond, _ = build_ldm_model(dataset_name, model_path,
                                  guidance_type=guidance_type,
-                                 guidance_rate=guidance_rate or 1.0)
+                                 guidance_rate=guidance_rate or 1.0,
+                                 remat=remat)
     ld = precond.latent_diffusion
     return precond, ld, ld.unet_params
 

@@ -147,10 +147,18 @@ def dp_search_multi(cost_mat: np.ndarray, num_steps: int, num_steps_tea: int,
 def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
                   *, seeds: Optional[Sequence[int]] = None,
                   sigma_fn=None, sigma_inv_fn=None,
+                  per_seed_cond: Optional[np.ndarray] = None,
+                  denoise_with_cond=None,
                   return_cost: bool = False):
     """Run the full GITS search; returns (dp_list, t_steps[dp_list]).
 
     denoise: bound denoiser.  sample_shape: per-sample NHWC shape.
+
+    Conditioned models (SD captions): pass `per_seed_cond` (one conditioning
+    row per warmup seed, e.g. caption embeddings) plus
+    `denoise_with_cond(x, t, c)` -- the warmup trajectories then run with
+    per-sample conditioning like the reference's dp search
+    (`gits-main/gits_utils.py:63-110` samples captions per warmup round).
     """
     t_full = get_schedule(cfg.num_steps_tea, denoise.sigma_min, denoise.sigma_max,
                           cfg.schedule_type, cfg.schedule_rho,
@@ -159,10 +167,19 @@ def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
     if seeds is None:
         seeds = range(cfg.num_warmup)
     seeds = np.asarray(list(seeds), dtype=np.int64)
+    conditioned = per_seed_cond is not None and denoise_with_cond is not None
+
+    def _den_for(c):
+        if c is None:
+            return denoise
+        from ..models.precond import BoundDenoiser
+
+        return BoundDenoiser(lambda x, t: denoise_with_cond(x, t, c),
+                             denoise.sigma_min, denoise.sigma_max)
 
     @jax.jit
-    def capture_and_cost(latents):
-        out = tea(denoise, latents, t_full, return_inters=True,
+    def capture_and_cost(latents, cond=None):
+        out = tea(_den_for(cond), latents, t_full, return_inters=True,
                   max_order=cfg.max_order)
         return compute_cost_matrix(out.xs, out.eps, t_full, cfg.metric), out.xs[-1]
 
@@ -170,10 +187,15 @@ def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
     rounds = 0
     terminal_states = []
     latents_last = None
+    cond_last = None
     for start in range(0, len(seeds), cfg.batch_size):
         chunk = seeds[start : start + cfg.batch_size]
         latents_last = stacked_randn(jnp.asarray(chunk), sample_shape)
-        c, term = capture_and_cost(latents_last)
+        if conditioned:
+            cond_last = jnp.asarray(per_seed_cond[start : start + len(chunk)])
+            c, term = capture_and_cost(latents_last, cond_last)
+        else:
+            c, term = capture_and_cost(latents_last)
         cost_sum += np.asarray(c, dtype=np.float64)
         terminal_states.append(np.asarray(term))
         rounds += 1
@@ -198,10 +220,12 @@ def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
         }
         teacher_terminal = jnp.asarray(terminal_states[-1])
         best = np.inf
+        # candidate runs share the last warmup batch's conditioning
+        den_afs = _den_for(cond_last)
 
         if cfg.solver in lms_coeffs:
             run = jax.jit(lambda lat, t, C: _lms_sample(
-                denoise, lat, t, C, afs=True).x)
+                den_afs, lat, t, C, afs=True).x)
 
             def student_out(t_cand):
                 C = np.asarray(lms_coeffs[cfg.solver](t_cand))
@@ -214,7 +238,7 @@ def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
             # per-family ranges); GITSConfig's default 4 is the LMS convention
             mo = min(cfg.max_order or 3, 3)
             run = jax.jit(lambda lat, t, co: stu(
-                denoise, lat, t, afs=True, max_order=mo, coeffs=co).x)
+                den_afs, lat, t, afs=True, max_order=mo, coeffs=co).x)
 
             def student_out(t_cand):
                 co = (multistep.dpm_pp_coeffs(t_cand, mo)
@@ -227,7 +251,7 @@ def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
 
             def student_out(t_cand):
                 return jax.jit(lambda lat, t=t_cand: stu(
-                    denoise, lat, t, afs=True,
+                    den_afs, lat, t, afs=True,
                     max_order=cfg.max_order).x)(latents_last)
 
         for k in range(1, phi[1]):

@@ -117,9 +117,10 @@ def create_model(dataset_name: str, model_path: Optional[str] = None,
 
 
 def build_ldm_model(dataset_name, model_path=None, guidance_type=None,
-                    guidance_rate=1.0, dtype=jnp.float32):
+                    guidance_rate=1.0, dtype=jnp.float32, remat=False):
     """LDM/SD checkpoints -> CFGPrecond over a LatentDiffusion stack
-    (sfd training_loop.py:86-108 create_model LDM branch)."""
+    (sfd training_loop.py:86-108 create_model LDM branch).
+    remat enables block-granular rematerialization (training memory)."""
     from .ldm import build_latent_diffusion
     from .precond import CFGPrecond
 
@@ -147,7 +148,8 @@ def build_ldm_model(dataset_name, model_path=None, guidance_type=None,
                 clip_text_params_from_state_dict(trees["cond_stage"]))
 
     ld = build_latent_diffusion(dataset_name, state_dict=state_dict,
-                                cond_stage_fn=cond_fn, dtype=dtype)
+                                cond_stage_fn=cond_fn, dtype=dtype,
+                                remat=remat)
 
     unet_bneck = _capture_middle(ld.unet, ld.unet_params)
     res, chn = ld.unet.image_size, ld.unet.in_channels

@@ -197,11 +197,25 @@ class _GN6(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _res_step(mdl, h, emb, name, cin, cout, emb_dim):
+    """Module-first res-block step: the form `nn.remat` can lift without
+    disturbing the flat checkpoint-parity param names (children are still
+    created on `mdl` itself)."""
+    return mdl._res_layer(name, cin, cout, emb_dim)(h, emb)
+
+
+def _attn_step(mdl, h, context, name, ch):
+    return mdl._attn_layer(name, ch)(h, context)
+
+
 class LDMUNet(nn.Module):
     """openaimodel UNetModel: guided-diffusion skeleton + SpatialTransformer.
 
     attention_resolutions are downsample RATES (the YAMLs pass rates
-    directly, see lsun config comment)."""
+    directly, see lsun config comment).
+
+    remat=True rematerializes per res/attn block (training memory; the
+    pixel-tier analogue is SongUNet/DhariwalUNet's `remat` flag)."""
 
     image_size: int
     in_channels: int
@@ -218,6 +232,7 @@ class LDMUNet(nn.Module):
     legacy: bool = True
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    remat: bool = False
 
     def _heads(self, ch):
         """openaimodel.py:542-556 head/dim bookkeeping."""
@@ -282,6 +297,11 @@ class LDMUNet(nn.Module):
         if context is not None:
             context = context.astype(self.dtype)
 
+        res_step, attn_step = _res_step, _attn_step
+        if self.remat:
+            res_step = nn.remat(_res_step, static_argnums=(3, 4, 5, 6))
+            attn_step = nn.remat(_attn_step, static_argnums=(3, 4))
+
         ch = self.model_channels * cm[0]
         h = _Conv(self.in_channels, ch, 3, name="input_blocks_0_0")(h)
         hs = [h]
@@ -291,12 +311,12 @@ class LDMUNet(nn.Module):
         for level, mult in enumerate(cm):
             for _ in range(self.num_res_blocks):
                 out_ch = self.model_channels * mult
-                h = self._res_layer(f"input_blocks_{block_idx}_0", ch, out_ch,
-                                    emb_dim)(h, emb)
+                h = res_step(self, h, emb, f"input_blocks_{block_idx}_0", ch,
+                             out_ch, emb_dim)
                 ch = out_ch
                 if ds in self.attention_resolutions:
-                    h = self._attn_layer(f"input_blocks_{block_idx}_1", ch)(
-                        h, context)
+                    h = attn_step(self, h, context,
+                                  f"input_blocks_{block_idx}_1", ch)
                 hs.append(h)
                 input_chans.append(ch)
                 block_idx += 1
@@ -308,9 +328,9 @@ class LDMUNet(nn.Module):
                 block_idx += 1
                 ds *= 2
 
-        h = self._res_layer("middle_block_0", ch, ch, emb_dim)(h, emb)
-        h = self._attn_layer("middle_block_1", ch)(h, context)
-        h = self._res_layer("middle_block_2", ch, ch, emb_dim)(h, emb)
+        h = res_step(self, h, emb, "middle_block_0", ch, ch, emb_dim)
+        h = attn_step(self, h, context, "middle_block_1", ch)
+        h = res_step(self, h, emb, "middle_block_2", ch, ch, emb_dim)
         # AMED bottleneck tap: the reference hooks model.middle_block
         # (solvers_amed.py:7-11); JAX has no hooks, so the activation is an
         # explicit second output.
@@ -322,13 +342,13 @@ class LDMUNet(nn.Module):
                 ich = input_chans.pop()
                 out_ch = self.model_channels * mult
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = self._res_layer(f"output_blocks_{idx}_0", ch + ich, out_ch,
-                                    emb_dim)(h, emb)
+                h = res_step(self, h, emb, f"output_blocks_{idx}_0", ch + ich,
+                             out_ch, emb_dim)
                 ch = out_ch
                 j = 1
                 if ds in self.attention_resolutions:
-                    h = self._attn_layer(f"output_blocks_{idx}_{j}", ch)(
-                        h, context)
+                    h = attn_step(self, h, context, f"output_blocks_{idx}_{j}",
+                                  ch)
                     j += 1
                 if level and i == self.num_res_blocks:
                     n_, hh, ww, c_ = h.shape
@@ -697,11 +717,13 @@ def ldm_state_dict_to_params(state_dict) -> Dict[str, Any]:
 
 def build_latent_diffusion(dataset_name: str, state_dict=None,
                            cond_stage_fn=None, dtype=jnp.float32,
-                           params_override=None) -> LatentDiffusion:
+                           params_override=None,
+                           remat: bool = False) -> LatentDiffusion:
     """Construct the LatentDiffusion stack for a dataset config; with
-    state_dict=None the parts get random init (smoke/bench use)."""
+    state_dict=None the parts get random init (smoke/bench use).
+    remat enables block-granular rematerialization (training memory)."""
     cfg = LDM_CONFIGS[dataset_name]
-    unet = LDMUNet(dtype=dtype, **cfg["unet"])
+    unet = LDMUNet(dtype=dtype, remat=remat, **cfg["unet"])
     vae_cfg = cfg["vae"]
     decoder = VAEDecoder(out_ch=3, **{k: v for k, v in vae_cfg.items()
                                       if k != "double_z"})

@@ -323,6 +323,17 @@ class CFGPrecond:
         if c_noise.shape[0] == 1:
             c_noise = jnp.broadcast_to(c_noise, (x.shape[0],))
 
+        def bcast(c):
+            # a single bound conditioning row (e.g. one --prompt) serves the
+            # whole batch (the reference encodes batch_size copies instead,
+            # sample.py:283-291)
+            if c is not None and c.shape[0] == 1 and x.shape[0] != 1:
+                return jnp.broadcast_to(c, (x.shape[0],) + c.shape[1:])
+            return c
+
+        condition = bcast(condition)
+        unconditional_condition = bcast(unconditional_condition)
+
         if self.guidance_type == "uncond":
             f_x, act = call(c_in * x, c_noise, None)
         elif self.guidance_type == "classifier-free":

@@ -25,9 +25,17 @@ CLIP_SEQ_LEN = 77  # CLIP text tower context length
 
 
 def load_captions(prompts_path: Optional[str]) -> Optional[list]:
-    """MS-COCO captions CSV with a 'text' column -> list[str], or None."""
-    if not prompts_path or not os.path.isfile(prompts_path):
+    """MS-COCO captions CSV with a 'text' column -> list[str].
+
+    None path -> None (caller falls back to smoke mode); a GIVEN path that
+    does not exist raises -- a typo'd --prompts_path must not silently
+    train on random contexts."""
+    if not prompts_path:
         return None
+    if not os.path.isfile(prompts_path):
+        raise FileNotFoundError(
+            f"captions CSV not found: {prompts_path!r} (omit --prompts_path "
+            f"entirely for the seeded-random smoke mode)")
     with open(prompts_path) as f:
         return [row["text"] for row in csv.DictReader(f)]
 
