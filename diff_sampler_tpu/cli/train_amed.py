@@ -94,7 +94,8 @@ def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
     run_desc = f"{dataset_name}-{num_steps}-{num_steps}-{sampler_stu}-{sampler_tea}" + (
         f"-{desc}" if desc else "")
     run_dir = ckpt.create_run_dir(outdir, run_desc)
-    logger = Logger(os.path.join(run_dir, "log.txt"), "a")
+    logger = Logger(os.path.join(run_dir, "log.txt")
+                    if process_index() == 0 else None, "a")
     print0(f"Run dir: {run_dir}")
 
     import flax.linen as flax_nn
@@ -109,7 +110,8 @@ def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
     # Sampling-config-in-checkpoint pattern: JSON sidecar (SURVEY 5.4),
     # saved AFTER the model range replace -- the sidecar must describe the
     # schedule the predictor actually trains on.
-    ckpt.save_config(os.path.join(run_dir, "predictor_config.json"), cfg)
+    if process_index() == 0:
+        ckpt.save_config(os.path.join(run_dir, "predictor_config.json"), cfg)
     sigma_fn = getattr(module, "sigma", None)
     sigma_inv_fn = getattr(module, "sigma_inv", None)
 

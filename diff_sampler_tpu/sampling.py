@@ -134,6 +134,13 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
     # trajectory output carries a leading time axis; batch is axis 1
     out_sharding = (NamedSharding(mesh, P(None, "data"))
                     if return_inters else sharding)
+    if jax.process_count() > 1:
+        # Multi-host: a cross-process data-sharded output spans
+        # non-addressable devices and cannot be fetched with np.asarray.
+        # Replicate the (small) sample batch instead -- XLA inserts the
+        # all-gather -- so every process holds the full result, mirroring
+        # the reference's per-rank gather-free save (sample.py:302-312).
+        out_sharding = NamedSharding(mesh, P())
     if per_seed_cond is not None:
         lab_sharding = pm.data_sharding(mesh, per_seed_cond.ndim)
     else:

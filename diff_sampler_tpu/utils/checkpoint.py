@@ -82,13 +82,27 @@ def load_config(path: str) -> Dict:
 
 
 def create_run_dir(base: str, desc: str) -> str:
-    """exps/<5-digit-id>-<desc>/ with auto-increment (amed train.py:120-128)."""
+    """exps/<5-digit-id>-<desc>/ with auto-increment (amed train.py:120-128).
+
+    Multi-host: the id is chosen on process 0 and broadcast so every
+    process agrees on the path (a per-process listing could race with
+    process 0's mkdir and split-brain the run); only process 0 creates
+    the directory."""
+    import jax
+
+    multi = jax.process_count() > 1
     os.makedirs(base, exist_ok=True)
     prev = [re.match(r"^(\d{5})-", d) for d in os.listdir(base)]
     ids = [int(m.group(1)) for m in prev if m]
     run_id = max(ids, default=-1) + 1
+    if multi:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        run_id = int(multihost_utils.broadcast_one_to_all(np.int32(run_id)))
     run_dir = os.path.join(base, f"{run_id:05d}-{desc}")
-    os.makedirs(run_dir)
+    if not multi or jax.process_index() == 0:
+        os.makedirs(run_dir, exist_ok=multi)
     return run_dir
 
 

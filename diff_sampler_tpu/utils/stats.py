@@ -110,12 +110,20 @@ default_collector = Collector()
 
 
 class JsonlWriter:
-    """Per-tick stats.jsonl dump (amed training_loop.py:264-269)."""
+    """Per-tick stats.jsonl dump (amed training_loop.py:264-269).
+
+    Multi-host: only process 0 writes (collectors are already allgathered,
+    so its records cover every process; the reference gates the same way,
+    training_loop.py:264)."""
 
     def __init__(self, path: str):
-        self.file = open(path, "at")
+        import jax
+
+        self.file = open(path, "at") if jax.process_index() == 0 else None
 
     def write(self, collector: Collector, **extra) -> None:
+        if self.file is None:
+            return
         record = {k: v for k, v in collector.as_dict().items()}
         record.update(extra)
         record["timestamp"] = time.time()
@@ -123,4 +131,5 @@ class JsonlWriter:
         self.file.flush()
 
     def close(self):
-        self.file.close()
+        if self.file is not None:
+            self.file.close()

@@ -59,11 +59,39 @@ CHILD = textwrap.dedent("""
     assert abs(c.mean("m") - 1.5) < 1e-12, c.as_dict()
     assert c.num("only0") == 1, c.as_dict()
 
+    # --- end-to-end sampling across processes (the cli/sample.py path):
+    # outputs must be fetchable as numpy on every process ---
+    from diff_sampler_tpu.models.analytic import GaussianDenoiser
+    from diff_sampler_tpu.sampling import SolverConfig, generate
+
+    den = GaussianDenoiser(mu=np.zeros(4, np.float32), var=np.ones(4, np.float32))
+    imgs = generate(den, range(8), (4,), SolverConfig(solver="euler", num_steps=4),
+                    mesh=mesh, max_batch_size=4)
+    assert imgs.shape == (8, 4) and np.isfinite(imgs).all()
+    imgs2 = generate(den, range(8), (4,),
+                     SolverConfig(solver="euler", num_steps=4),
+                     mesh=mesh, max_batch_size=8)
+    np.testing.assert_array_equal(imgs, imgs2)  # per-seed determinism
+
+    # --- run-dir id broadcast + single-creator, stats gated on proc 0 ---
+    from diff_sampler_tpu.utils import checkpoint as ckpt
+    from diff_sampler_tpu.utils.stats import Collector, JsonlWriter
+
+    base = os.path.join(os.path.dirname(os.environ["OUT_FILE"]), "exps")
+    run_dir = ckpt.create_run_dir(base, "mh")
+    assert run_dir.endswith("00000-mh"), run_dir  # both procs agree on the id
+    if rank == 0:
+        assert os.path.isdir(run_dir)
+    w = JsonlWriter(os.path.join(run_dir, "stats.jsonl"))
+    w.write(c, kimg=1.0)
+    w.close()
+
     # --- process-gated writes ---
     if pm.process_index() == 0:
         with open(os.environ["OUT_FILE"], "w") as f:
             json.dump({"mean": c.mean("m"), "total": float(total),
-                       "procs": jax.process_count()}, f)
+                       "procs": jax.process_count(),
+                       "img0": float(imgs[0, 0])}, f)
     pm.print0("child ok")
 """)
 
@@ -112,4 +140,12 @@ def test_two_process_distributed_smoke(tmp_path):
     assert "child ok" in outs[0]
     assert "child ok" not in outs[1]
     result = json.loads(out_file.read_text())
-    assert result == {"mean": 1.5, "total": 6.0, "procs": 2}
+    assert result["mean"] == 1.5 and result["total"] == 6.0
+    assert result["procs"] == 2
+    import math
+
+    assert math.isfinite(result["img0"])
+    # JsonlWriter wrote exactly once (process 0 only)
+    stats_files = list(tmp_path.glob("exps/*/stats.jsonl"))
+    assert len(stats_files) == 1
+    assert len(stats_files[0].read_text().strip().splitlines()) == 1
