@@ -25,12 +25,43 @@ A100_BF16_EFF = 312e12 * 0.40
 A100_TF32_EFF = 156e12 * 0.40
 
 
+def _devices_with_timeout(seconds=300):
+    """jax.devices() with a watchdog: the axon tunnel blocks indefinitely
+    when the chip pool is unreachable -- better to emit a parseable error
+    line than to stall the driver."""
+    import threading
+
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # pragma: no cover - backend-dependent
+            out["error"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(seconds)
+    if "devices" in out:
+        return out["devices"]
+    raise TimeoutError(out.get(
+        "error", f"jax.devices() did not return within {seconds}s "
+                 f"(axon tunnel unreachable?)"))
+
+
 def main():
     from diff_sampler_tpu.models.precond import EDMPrecond, bind
     from diff_sampler_tpu.ops import get_schedule
     from diff_sampler_tpu.solvers import get_sampler
 
-    dev = jax.devices()[0]
+    try:
+        dev = _devices_with_timeout()[0]
+    except TimeoutError as e:
+        print(json.dumps({
+            "metric": "cifar10_edm_songunet_images_per_sec_per_chip_nfe35",
+            "value": 0.0,
+            "unit": "images/sec/chip", "vs_baseline": 0.0, "error": str(e)}))
+        return
     # EDM CIFAR-10 DDPM++ architecture, bf16 inner compute.
     kwargs = dict(model_channels=128, channel_mult=[2, 2, 2], num_blocks=4,
                   attn_resolutions=[16], dropout=0.0)

@@ -26,17 +26,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chained_ms(fn, x, sigma, lo=4, hi=12):
-    """Delta-timed chained eval: (t(hi)-t(lo))/(hi-lo) per call, median of 3."""
-    jfn = jax.jit(fn)
-    y = jfn(x, sigma)
+def chained_ms(fn, x, sigma, lo=4, hi=12, params=None):
+    """Delta-timed chained eval: (t(hi)-t(lo))/(hi-lo) per call, median of 3.
+
+    params (when given) enter the jit as an ARGUMENT -- closing over a
+    296M-param tree would embed ~1.2 GB of f32 constants in the HLO and
+    trip the axon compile service's body limit (BENCH_NOTES: HTTP 413)."""
+    if params is not None:
+        jfn = jax.jit(lambda p, z, s: fn(p, z, s))
+        params = jax.device_put(params)
+        call = lambda z: jfn(params, z, sigma)
+    else:
+        jfn = jax.jit(fn)
+        call = lambda z: jfn(z, sigma)
+    y = call(x)
     jax.block_until_ready(y)
 
     def run(n):
         t0 = time.perf_counter()
         z = x
         for _ in range(n):
-            z = jfn(z, sigma)
+            z = call(z)
         jax.block_until_ready(z)
         return time.perf_counter() - t0
 
@@ -72,13 +82,13 @@ def build(batch, attn=True, dtype=jnp.bfloat16):
     y = (jnp.eye(label_dim, dtype=jnp.float32)[jnp.arange(batch) % label_dim]
          if label_dim else None)
 
-    def fn(x, sigma):
-        return net.apply({"params": params}, x, sigma, y)
+    def fn(p, x, sigma):
+        return net.apply({"params": p}, x, sigma, y)
 
     x = jnp.asarray(np.random.RandomState(0).randn(batch, res, res, chn),
                     jnp.float32)
     sigma = jnp.full((batch,), 2.5, jnp.float32)
-    return fn, x, sigma
+    return fn, params, x, sigma
 
 
 def conv_roofline(batch):
@@ -139,8 +149,8 @@ def main():
                 # in-model call site takes the einsum path.
                 pallas_attention.sdpa.__kwdefaults__["min_flash_tokens"] = 1 << 30
 
-            fn, x, sigma = build(args.batch, attn=(variant != "no_attn"))
-            ms = chained_ms(fn, x, sigma)
+            fn, params, x, sigma = build(args.batch, attn=(variant != "no_attn"))
+            ms = chained_ms(fn, x, sigma, params=params)
             results[variant] = ms
             print(f"{variant:12s} {ms:8.2f} ms/eval "
                   f"({1e3 * args.batch / ms:7.1f} img/s-eval)")
