@@ -1,0 +1,181 @@
+"""Tensor-parallel sharding tier: Megatron-style param shardings over a
+2-D ('data','model') mesh must leave every forward/training result
+unchanged (GSPMD inserts the collectives) while actually sharding the
+big weight matrices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from diff_sampler_tpu.parallel import tp as tpmod
+
+CTX = 24
+
+
+def _tiny_ldm_unet(num_heads=2):
+    from diff_sampler_tpu.models.ldm import LDMUNet
+
+    return LDMUNet(image_size=8, in_channels=4, out_channels=4,
+                   model_channels=32, attention_resolutions=(2,),
+                   num_res_blocks=1, channel_mult=(1, 2),
+                   num_heads=num_heads, use_spatial_transformer=True,
+                   transformer_depth=1, context_dim=CTX, legacy=False)
+
+
+def test_mesh_2d_shape():
+    mesh = tpmod.get_mesh_2d(2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        tpmod.get_mesh_2d(3)
+
+
+def test_specs_cover_the_expected_roles():
+    unet = _tiny_ldm_unet()
+    x = jnp.zeros((1, 8, 8, 4))
+    c = jnp.zeros((1, 3, CTX))
+    params = unet.init(jax.random.key(0), x, jnp.ones((1,)), c)["params"]
+    specs = tpmod.tp_param_specs(params, tp_size=2)
+
+    def get(name, leaf="kernel"):
+        return tuple(specs[name][leaf])
+
+    # residual block: col/row conv pair
+    assert get("input_blocks_1_0_in_layers_2") == (None, None, None, "model")
+    assert get("input_blocks_1_0_out_layers_3") == (None, None, "model", None)
+    def all_match(suffix, expect):
+        ks = [k for k in specs if k.endswith(suffix)]
+        assert ks, suffix
+        for k in ks:
+            assert tuple(specs[k]["kernel"]) == expect, (k, specs[k]["kernel"])
+        return ks
+
+    # cross-attention: heads col, out row; feed-forward: GEGLU col, out row
+    all_match("_to_q", (None, "model"))
+    all_match("_to_k", (None, "model"))
+    all_match("_to_out_0", ("model", None))
+    all_match("_net_0_proj", (None, "model"))
+    all_match("_net_2", ("model", None))
+    # SpatialTransformer boundary + biases + norms stay replicated
+    pins = all_match("_proj_in", ())
+    for pin in pins:
+        pout = pin[: -len("_proj_in")] + "_proj_out"
+        assert tuple(specs[pout]["kernel"]) == ()
+    assert tuple(specs["input_blocks_1_0_in_layers_2"]["bias"]) == ()
+    assert tuple(specs["input_blocks_1_0_in_layers_0"]["scale"]) == ()
+    assert tpmod.count_sharded(specs) >= 8
+
+
+def test_indivisible_dims_fall_back_to_replicated():
+    unet = _tiny_ldm_unet()
+    x = jnp.zeros((1, 8, 8, 4))
+    c = jnp.zeros((1, 3, CTX))
+    params = unet.init(jax.random.key(0), x, jnp.ones((1,)), c)["params"]
+    specs = tpmod.tp_param_specs(params, tp_size=7)
+    assert tpmod.count_sharded(specs) == 0
+
+
+def test_ldm_unet_tp_forward_parity():
+    """TP-sharded forward == replicated forward (the collectives GSPMD
+    inserts must be value-preserving)."""
+    unet = _tiny_ldm_unet()
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(4, 8, 8, 4), jnp.float32)
+    t = jnp.asarray([1.0, 5.0, 9.0, 40.0], jnp.float32)
+    c = jnp.asarray(rs.randn(4, 3, CTX), jnp.float32)
+    params = unet.init(jax.random.key(0), x, t, c)["params"]
+
+    ref = jax.jit(lambda p: unet.apply({"params": p}, x, t, c))(params)
+
+    mesh = tpmod.get_mesh_2d(2)
+    params_tp = tpmod.shard_params_tp(params, mesh)
+    data = NamedSharding(mesh, P("data", None, None, None))
+    xs = jax.device_put(x, data)
+    out = jax.jit(
+        lambda p, z: unet.apply({"params": p}, z, t, c),
+        out_shardings=NamedSharding(mesh, P()),
+    )(params_tp, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_songunet_tp_forward_parity():
+    """The same spec rules serve the nested EDM block naming."""
+    import __graft_entry__ as g
+
+    fn, (params, x, sigma) = g.entry(tiny=True)
+    x = jnp.asarray(np.random.RandomState(1).randn(*x.shape), x.dtype)
+    ref = jax.jit(fn)(params, x, sigma)
+
+    mesh = tpmod.get_mesh_2d(2)
+    specs = tpmod.tp_param_specs(params, tp_size=2)
+    assert tpmod.count_sharded(specs) >= 4
+    params_tp = tpmod.shard_params_tp(params, mesh, specs)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+    out = jax.jit(fn, out_shardings=NamedSharding(mesh, P()))(params_tp, xs,
+                                                              sigma)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_latent_sfd_train_step_tp_dp():
+    """One latent SFD distillation train step with params tensor-sharded
+    and the batch data-sharded on the same 2-D mesh: runs, loss finite and
+    equal to the replicated step, updated params keep their shardings."""
+    import optax
+
+    from diff_sampler_tpu.models import ldm as ldm_mod
+    from diff_sampler_tpu.models.precond import CFGPrecond
+    from diff_sampler_tpu.training.sfd import SFDConfig, make_ldm_train_step
+
+    from diff_sampler_tpu.models.ldm import linear_alphas_cumprod
+
+    unet = _tiny_ldm_unet()
+    rs = np.random.RandomState(0)
+    x0 = jnp.zeros((1, 8, 8, 4))
+    c0 = jnp.zeros((1, 3, CTX))
+    params = unet.init(jax.random.key(0), x0, jnp.ones((1,)), c0)["params"]
+
+    def unet_apply(p, x, t, context):
+        return unet.apply({"params": p}, x, t, context)
+
+    precond = CFGPrecond(
+        model_fn=lambda x, t, c: unet_apply(params, x, t, c),
+        alphas_cumprod=linear_alphas_cumprod(0.00085, 0.012, 100),
+        guidance_type="classifier-free", guidance_rate=7.5,
+        img_resolution=8, img_channels=4)
+    cfg = SFDConfig(num_steps=3, M=1, schedule_type="discrete",
+                    schedule_rho=1.0, afs=False,
+                    sigma_min=float(precond.sigma_min),
+                    sigma_max=float(precond.sigma_max))
+    optimizer = optax.adam(1e-4)
+    step = make_ldm_train_step(unet_apply, precond, cfg, optimizer)
+
+    batch = 8
+    latents = jnp.asarray(rs.randn(batch, 8, 8, 4), jnp.float32)
+    context = jnp.asarray(rs.randn(batch, 3, CTX), jnp.float32)
+    opt_state = optimizer.init(params)
+    teacher = jax.tree.map(lambda a: a.copy(), params)
+
+    # replicated reference
+    _, _, m_ref = jax.jit(step)(params, opt_state, teacher, latents, context)
+
+    mesh = tpmod.get_mesh_2d(2)
+    specs = tpmod.tp_param_specs(params, tp_size=2)
+    params_tp = tpmod.shard_params_tp(params, mesh, specs)
+    teacher_tp = tpmod.shard_params_tp(teacher, mesh, specs)
+    opt_tp = optimizer.init(params_tp)
+    data = NamedSharding(mesh, P("data", None, None, None))
+    lat_s = jax.device_put(latents, data)
+    ctx_s = jax.device_put(context, NamedSharding(mesh, P("data", None, None)))
+
+    p2, _, metrics = jax.jit(step)(params_tp, opt_tp, teacher_tp, lat_s, ctx_s)
+    loss_tp, loss_ref = float(metrics["loss"]), float(m_ref["loss"])
+    assert np.isfinite(loss_tp)
+    np.testing.assert_allclose(loss_tp, loss_ref, rtol=1e-4)
+    # updated params keep the tensor sharding (no silent gather-to-replicated)
+    k = "input_blocks_1_0_in_layers_2"
+    spec = p2[k]["kernel"].sharding.spec
+    assert tuple(spec)[-1] == "model", spec
