@@ -179,3 +179,41 @@ def test_latent_sfd_train_step_tp_dp():
     k = "input_blocks_1_0_in_layers_2"
     spec = p2[k]["kernel"].sharding.spec
     assert tuple(spec)[-1] == "model", spec
+
+
+def test_generate_on_2d_mesh_with_tp_params():
+    """End-to-end sampling through `sampling.generate` on the 2-D mesh with
+    tensor-sharded closed-over params must reproduce the replicated result:
+    the 'data' batch axis and the 'model' weight axis compose."""
+    from diff_sampler_tpu.models.ldm import linear_alphas_cumprod
+    from diff_sampler_tpu.models.precond import CFGPrecond
+    from diff_sampler_tpu.parallel import mesh as pm
+    from diff_sampler_tpu.sampling import SolverConfig, generate
+
+    unet = _tiny_ldm_unet()
+    x0 = jnp.zeros((1, 8, 8, 4))
+    c0 = jnp.zeros((1, 3, CTX))
+    params0 = unet.init(jax.random.key(0), x0, jnp.ones((1,)), c0)["params"]
+    ctx1 = jnp.asarray(np.random.RandomState(3).randn(1, 3, CTX), jnp.float32)
+
+    def make_denoiser(params):
+        return CFGPrecond(
+            model_fn=lambda x, t, c: unet.apply(
+                {"params": params}, x, t,
+                jnp.broadcast_to(ctx1, (x.shape[0],) + ctx1.shape[1:])),
+            alphas_cumprod=linear_alphas_cumprod(0.00085, 0.012, 100),
+            guidance_type="uncond", guidance_rate=1.0,
+            img_resolution=8, img_channels=4)
+
+    den = make_denoiser(params0)
+    cfg = SolverConfig(solver="dpmpp", num_steps=4, schedule_type="discrete",
+                       schedule_rho=1.0)
+    kw = dict(sigma_fn=den.sigma, sigma_inv_fn=den.sigma_inv,
+              max_batch_size=8)
+    ref = generate(den, range(8), (8, 8, 4), cfg, mesh=pm.get_mesh(), **kw)
+
+    mesh2d = tpmod.get_mesh_2d(2)
+    params_tp = tpmod.shard_params_tp(params0, mesh2d)
+    out = generate(make_denoiser(params_tp), range(8), (8, 8, 4), cfg,
+                   mesh=mesh2d, **kw)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
