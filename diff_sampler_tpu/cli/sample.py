@@ -78,6 +78,9 @@ def _resolve_snapshot(path_or_exp, outdir_base="./exps"):
 @click.option("--outdir", type=str, default=None)
 @click.option("--subdirs", type=bool, default=True)
 @click.option("--bf16", type=bool, default=False, help="bfloat16 inner compute")
+@click.option("--tp", type=int, default=1,
+              help="Tensor-parallel degree for the latent tiers: shard the "
+                   "U-Net weights over a (data, model) mesh (parallel/tp.py)")
 # SOLVER_FLAGS
 @click.option("--solver", type=click.Choice(["euler", "heun", "dpm", "ipndm",
                                              "ipndm_v", "dpmpp", "unipc", "deis",
@@ -121,7 +124,7 @@ def _resolve_snapshot(path_or_exp, outdir_base="./exps"):
 @click.option("--num_steps_tea", type=int, default=61)
 @click.option("--solver_tea", type=str, default="ipndm")
 def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
-         outdir, subdirs, bf16, solver, num_steps, afs, denoise_to_zero,
+         outdir, subdirs, bf16, tp, solver, num_steps, afs, denoise_to_zero,
          return_inters, schedule_type, schedule_rho, sigma_min, sigma_max,
          t_steps, max_order, predict_x0, lower_order_final, variant, deis_mode,
          r, skip_tuning, guidance_type, guidance_rate, prompt, dp, metric,
@@ -180,6 +183,19 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
     else:
         module, params, model_source = create_model(
             dataset_name, model_path, guidance_type, guidance_rate, dtype=dtype)
+
+    tp_mesh = None
+    if tp > 1:
+        if model_source not in ("ldm", "sd"):
+            raise click.ClickException(
+                "--tp currently shards the latent (LDM/SD) tiers only")
+        from ..models.factory import shard_ldm_tensor_parallel
+        from ..parallel import tp as tpmod
+
+        tp_mesh = tpmod.get_mesh_2d(tp)
+        shard_ldm_tensor_parallel(module, tp_mesh)
+        print0(f"Tensor parallel: U-Net weights sharded over "
+               f"mesh {dict(tp_mesh.shape)}")
 
     cond = {}
     per_seed_cond = None
@@ -263,7 +279,7 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
     print0(f"Solver: {solver} | NFE: {cfg.nfe()} | "
            f"schedule: {schedule_type}(rho={schedule_rho}) | source: {model_source}")
 
-    mesh = get_mesh()
+    mesh = tp_mesh if tp_mesh is not None else get_mesh()
     cond_kw = {}
     if per_seed_cond is not None:
         uc = cond.get("unconditional_condition")

@@ -173,6 +173,23 @@ def build_ldm_model(dataset_name, model_path=None, guidance_type=None,
     return precond, None
 
 
+def shard_ldm_tensor_parallel(precond, mesh):
+    """Shard the latent U-Net weights Megatron-style over the mesh's 'model'
+    axis (parallel/tp.py); the denoise path picks them up late-bound through
+    LatentDiffusion.apply_model, and the AMED bottleneck tap is re-captured
+    so every closure sees the same committed arrays."""
+    from ..parallel import tp
+
+    ld = precond.latent_diffusion
+    ld.unet_params = tp.shard_params_tp(ld.unet_params, mesh)
+    bneck = _capture_middle(ld.unet, ld.unet_params)
+    if precond.guidance_type == "uncond":
+        precond.model_fn_bottleneck = lambda x, t, cond: bneck(x, t, None)
+    else:
+        precond.model_fn_bottleneck = bneck
+    return precond
+
+
 def _adm_params(module, model_path, seed):
     if model_path == "random":
         res, ch = module.image_size, module.in_channels

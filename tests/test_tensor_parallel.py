@@ -217,3 +217,33 @@ def test_generate_on_2d_mesh_with_tp_params():
     out = generate(make_denoiser(params_tp), range(8), (8, 8, 4), cfg,
                    mesh=mesh2d, **kw)
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_sample_cli_tp(tmp_path, monkeypatch):
+    """`--tp=2` on a latent tier shards the U-Net over a (data, model) mesh
+    and produces the same images as the data-parallel run (within 1 uint8
+    quantization level)."""
+    from click.testing import CliRunner
+    from PIL import Image
+
+    from diff_sampler_tpu.cli.sample import main
+    from diff_sampler_tpu.models import ldm as ldm_mod
+    from test_sfd_ldm import _tiny_ldm_configs
+
+    monkeypatch.setattr(ldm_mod, "LDM_CONFIGS", _tiny_ldm_configs())
+    outs = {}
+    for tp in (1, 2):
+        out = tmp_path / f"tp{tp}"
+        res = CliRunner().invoke(main, [
+            "--dataset_name=lsun_bedroom_ldm", "--model_path=random",
+            f"--tp={tp}", "--seeds=0-3", "--batch=4", "--num_steps=3",
+            f"--outdir={out}", "--subdirs=False"], catch_exceptions=False)
+        assert res.exit_code == 0, res.output
+        pngs = sorted(out.glob("*.png"))
+        assert len(pngs) == 4
+        outs[tp] = np.stack([np.asarray(Image.open(p), np.int16)
+                             for p in pngs])
+        if tp == 2:
+            assert "Tensor parallel" in res.output
+    assert np.abs(outs[1] - outs[2]).max() <= 1
