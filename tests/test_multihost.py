@@ -86,6 +86,38 @@ CHILD = textwrap.dedent("""
     w.write(c, kimg=1.0)
     w.close()
 
+    # --- tensor parallelism ACROSS processes: (data, model) mesh with the
+    # model axis inside each host and the data axis spanning hosts ---
+    from diff_sampler_tpu.models.ldm import LDMUNet
+    from diff_sampler_tpu.parallel import tp as tpmod
+
+    mesh2d = tpmod.get_mesh_2d(2)
+    assert mesh2d.shape == {"data": 2, "model": 2}
+    unet = LDMUNet(image_size=8, in_channels=4, out_channels=4,
+                   model_channels=32, attention_resolutions=(2,),
+                   num_res_blocks=1, channel_mult=(1, 2), num_heads=2,
+                   use_spatial_transformer=True, transformer_depth=1,
+                   context_dim=16, legacy=False)
+    rs = np.random.RandomState(0)
+    xg = rs.randn(4, 8, 8, 4).astype(np.float32)
+    cg = rs.randn(4, 3, 16).astype(np.float32)
+    t = jnp.asarray([1.0, 2.0, 3.0, 4.0], jnp.float32)
+    params = unet.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+                       jnp.ones((1,)), jnp.zeros((1, 3, 16)))["params"]
+    specs = tpmod.tp_param_specs(params, tp_size=2)
+    assert tpmod.count_sharded(specs) >= 8
+    params_tp = tpmod.shard_params_tp(params, mesh2d, specs)
+    dsh = pm.data_sharding(mesh2d, 4)
+    xs = jax.make_array_from_process_local_data(dsh, xg[rank * 2:(rank + 1) * 2], (4, 8, 8, 4))
+    cs = jax.make_array_from_process_local_data(pm.data_sharding(mesh2d, 3),
+                                                cg[rank * 2:(rank + 1) * 2], (4, 3, 16))
+    out = jax.jit(lambda p, z, cc: unet.apply({"params": p}, z, t, cc),
+                  out_shardings=NamedSharding(mesh2d, P()))(params_tp, xs, cs)
+    out = np.asarray(out)
+    with open(os.environ["OUT_FILE"] + f".tp{rank}", "w") as f:
+        json.dump({"mean": float(out.mean()),
+                   "asum": float(np.abs(out).sum())}, f)
+
     # --- process-gated writes ---
     if pm.process_index() == 0:
         with open(os.environ["OUT_FILE"], "w") as f:
@@ -149,3 +181,37 @@ def test_two_process_distributed_smoke(tmp_path):
     stats_files = list(tmp_path.glob("exps/*/stats.jsonl"))
     assert len(stats_files) == 1
     assert len(stats_files[0].read_text().strip().splitlines()) == 1
+    # cross-process tensor parallelism: both ranks fetched the same
+    # replicated output, matching a local single-process reference
+    import numpy as np
+
+    tp0 = json.loads((tmp_path / "result.json.tp0").read_text())
+    tp1 = json.loads((tmp_path / "result.json.tp1").read_text())
+    np.testing.assert_allclose(tp0["mean"], tp1["mean"], rtol=1e-6)
+    np.testing.assert_allclose(tp0["asum"], tp1["asum"], rtol=1e-6)
+    ref = _tp_reference()
+    np.testing.assert_allclose(tp0["mean"], ref["mean"], rtol=1e-4)
+    np.testing.assert_allclose(tp0["asum"], ref["asum"], rtol=1e-4)
+
+
+def _tp_reference():
+    """The same tiny-LDMUNet forward, single-process replicated."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diff_sampler_tpu.models.ldm import LDMUNet
+
+    unet = LDMUNet(image_size=8, in_channels=4, out_channels=4,
+                   model_channels=32, attention_resolutions=(2,),
+                   num_res_blocks=1, channel_mult=(1, 2), num_heads=2,
+                   use_spatial_transformer=True, transformer_depth=1,
+                   context_dim=16, legacy=False)
+    rs = np.random.RandomState(0)
+    xg = jnp.asarray(rs.randn(4, 8, 8, 4), jnp.float32)
+    cg = jnp.asarray(rs.randn(4, 3, 16), jnp.float32)
+    t = jnp.asarray([1.0, 2.0, 3.0, 4.0], jnp.float32)
+    params = unet.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+                       jnp.ones((1,)), jnp.zeros((1, 3, 16)))["params"]
+    out = np.asarray(jax.jit(unet.apply)({"params": params}, xg, t, cg))
+    return {"mean": float(out.mean()), "asum": float(np.abs(out).sum())}
