@@ -62,6 +62,10 @@ LATENT_DATASETS = ("ms_coco", "lsun_bedroom_ldm", "ffhq_ldm")
               help="Microbatch for gradient accumulation (reference "
                    "--batch-gpu; ms_coco forces an effective 128)")
 @click.option("--lr", type=float, default=5e-5)
+@click.option("--tp", type=int, default=1,
+              help="Tensor-parallel degree for the latent tiers: student + "
+                   "teacher weights and optimizer moments sharded over a "
+                   "(data, model) mesh (parallel/tp.py)")
 @click.option("--prompts_path", type=str, default=None,
               help="MS-COCO captions CSV with a 'text' column "
                    "(sfd training_loop.py:168-178)")
@@ -81,8 +85,8 @@ LATENT_DATASETS = ("ms_coco", "lsun_bedroom_ldm", "ffhq_ldm")
 def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
          model_path, num_steps, sampler_tea, M, guidance_type, guidance_rate,
          schedule_type, schedule_rho, afs, max_order, predict_x0,
-         lower_order_final, batch, batch_gpu, lr, prompts_path, remat, resume,
-         desc, tick, snap, seed, dry_run):
+         lower_order_final, batch, batch_gpu, lr, tp, prompts_path, remat,
+         resume, desc, tick, snap, seed, dry_run):
     import jax
     import jax.numpy as jnp
     import optax
@@ -168,20 +172,39 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
         print0(f"Resumed from {resume} at {start_nimg / 1e3:.1f} kimg")
 
     mesh = get_mesh()
+    tp_sh = None
+    if tp > 1:
+        if not latent:
+            raise click.ClickException(
+                "--tp currently shards the latent (LDM/SD) tiers only")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel import tp as tpmod
+
+        mesh = tpmod.get_mesh_2d(tp)
+        specs = tpmod.tp_param_specs(params, tp)
+        tp_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, PartitionSpec))
+        print0(f"Tensor parallel: {tpmod.count_sharded(specs)} weights "
+               f"sharded over mesh {dict(mesh.shape)}")
     rep = replicated(mesh)
+    p_sh = tp_sh if tp_sh is not None else rep
     shard = data_sharding(mesh, 4)
     conditional = label_dim > 0 or context_fn is not None
     cond_ndim = 3 if context_fn is not None else 2
 
     def build_step(c):
+        # opt-state shardings are inferred from the arrays (None): fully
+        # tensor-sharded when freshly initialized from sharded params,
+        # replicated on a tp resume.
         if conditional:
             return jax.jit(step_builder(c),
-                           in_shardings=(rep, rep, rep, shard,
+                           in_shardings=(p_sh, None, p_sh, shard,
                                          data_sharding(mesh, cond_ndim)),
-                           out_shardings=(rep, rep, rep))
+                           out_shardings=(p_sh, None, rep))
         return jax.jit(step_builder(c),
-                       in_shardings=(rep, rep, rep, shard),
-                       out_shardings=(rep, rep, rep))
+                       in_shardings=(p_sh, None, p_sh, shard),
+                       out_shardings=(p_sh, None, rep))
 
     if use_step_condition and not is_second_stage and not latent:
         # SFD-v: randomize num_steps in [4,7] per trajectory
@@ -194,9 +217,13 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
         train_step = lambda *a: step_variants[int(rng_steps.randint(4, 8))](*a)
     else:
         train_step = build_step(cfg)
-    params = jax.device_put(params, rep)
-    opt_state = jax.device_put(opt_state, rep)
-    teacher_params = jax.device_put(teacher_params, rep)
+    params = jax.device_put(params, p_sh)
+    teacher_params = jax.device_put(teacher_params, p_sh)
+    if tp_sh is not None and not resume:
+        # zeros_like inherits the param shardings -> tensor-sharded moments
+        opt_state = optimizer.init(params)
+    else:
+        opt_state = jax.device_put(opt_state, rep)
 
     collector = training_stats.default_collector
     jsonl = training_stats.JsonlWriter(os.path.join(run_dir, "stats.jsonl"))

@@ -247,3 +247,31 @@ def test_sample_cli_tp(tmp_path, monkeypatch):
         if tp == 2:
             assert "Tensor parallel" in res.output
     assert np.abs(outs[1] - outs[2]).max() <= 1
+
+
+@pytest.mark.slow
+def test_train_sfd_cli_tp(tmp_path, monkeypatch):
+    """`--tp=2` on a latent training tier: student/teacher weights and Adam
+    moments live tensor-sharded on the (data, model) mesh for the whole run,
+    and training completes with a finite loss."""
+    import json
+
+    from click.testing import CliRunner
+
+    from diff_sampler_tpu.cli.train_sfd import main
+    from diff_sampler_tpu.models import ldm as ldm_mod
+    from test_sfd_ldm import _tiny_ldm_configs
+
+    monkeypatch.setattr(ldm_mod, "LDM_CONFIGS", _tiny_ldm_configs())
+    res = CliRunner().invoke(main, [
+        "--dataset_name=lsun_bedroom_ldm", f"--outdir={tmp_path}",
+        "--model_path=random", "--total_kimg=1", "--batch=512", "--tp=2",
+        "--num_steps=3", "--m=1", "--schedule_type=discrete",
+        "--schedule_rho=1", "--afs=False", "--guidance_type=uncond",
+        "--tick=1", "--snap=1"], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert "Tensor parallel" in res.output
+    run = next(tmp_path.iterdir())
+    stats = (run / "stats.jsonl").read_text().strip().splitlines()
+    assert stats and np.isfinite(
+        json.loads(stats[-1])["Loss/loss"]["mean"])
