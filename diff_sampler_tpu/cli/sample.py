@@ -194,6 +194,10 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
 
         tp_mesh = tpmod.get_mesh_2d(tp)
         shard_ldm_tensor_parallel(module, tp_mesh)
+        # rebind so the unsharded tree is released, not kept alive by this
+        # frame for the whole sampling run (bind() ignores params for
+        # dataclass preconds; the model reads ld.unet_params late-bound)
+        params = module.latent_diffusion.unet_params
         print0(f"Tensor parallel: U-Net weights sharded over "
                f"mesh {dict(tp_mesh.shape)}")
 

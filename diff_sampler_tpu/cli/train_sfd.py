@@ -157,16 +157,19 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
         res, chn = module.img_resolution, module.img_channels
         label_dim = module.label_dim
     teacher_params = jax.tree.map(lambda a: a.copy(), params)
-    opt_state = optimizer.init(params)
+    opt_state = None  # initialized/placed after the mesh+sharding decision
     start_nimg = 0
     if resume:
         loaded = ckpt.load_params(resume)
         params = jax.tree.map(jnp.asarray, loaded["params"])
         if "opt_state" in loaded:
+            # eval_shape gives the state STRUCTURE without allocating the
+            # (param-sized) moments on the default device
+            struct = jax.eval_shape(optimizer.init, params)
             leaves = [jnp.asarray(loaded["opt_state"][k])
                       for k in sorted(loaded["opt_state"])]
-            opt_state = jax.tree.util.tree_unflatten(
-                jax.tree.util.tree_structure(opt_state), leaves)
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(struct), leaves)
         start_nimg = int(loaded.get("meta", {}).get("cur_nimg", [0])[0]) \
             if "meta" in loaded else 0
         print0(f"Resumed from {resume} at {start_nimg / 1e3:.1f} kimg")
@@ -194,9 +197,9 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
     cond_ndim = 3 if context_fn is not None else 2
 
     def build_step(c):
-        # opt-state shardings are inferred from the arrays (None): fully
-        # tensor-sharded when freshly initialized from sharded params,
-        # replicated on a tp resume.
+        # opt-state shardings are inferred from the arrays (None): the
+        # moments are always placed like a fresh init from the sharded
+        # params (tensor-sharded under --tp), including on resume.
         if conditional:
             return jax.jit(step_builder(c),
                            in_shardings=(p_sh, None, p_sh, shard,
@@ -219,11 +222,29 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
         train_step = build_step(cfg)
     params = jax.device_put(params, p_sh)
     teacher_params = jax.device_put(teacher_params, p_sh)
-    if tp_sh is not None and not resume:
-        # zeros_like inherits the param shardings -> tensor-sharded moments
-        opt_state = optimizer.init(params)
+    # init from the PLACED params: zeros_like inherits their shardings, so
+    # the Adam moments are tensor-sharded under --tp, replicated otherwise.
+    ref_state = optimizer.init(params)
+    if opt_state is None:
+        opt_state = ref_state
     else:
-        opt_state = jax.device_put(opt_state, rep)
+        # resumed moments get the same mesh shardings a fresh state has;
+        # leaves the init created as fresh constants (e.g. the Adam `count`
+        # scalar) carry a single-device sharding and stay uncommitted so
+        # the jit can place them
+        from jax.sharding import NamedSharding
+
+        def _place(ref, host):
+            h = jnp.asarray(host)
+            s = ref.sharding
+            return jax.device_put(h, s) if isinstance(s, NamedSharding) else h
+
+        opt_state = jax.tree.map(_place, ref_state, opt_state)
+    del ref_state
+    if tp_sh is not None:
+        # rebind so the stale unsharded tree is released (it is otherwise
+        # kept alive through the LatentDiffusion the step builder closes over)
+        ld.unet_params = params
 
     collector = training_stats.default_collector
     jsonl = training_stats.JsonlWriter(os.path.join(run_dir, "stats.jsonl"))

@@ -87,11 +87,13 @@ def _role(module_name: str, all_names: frozenset) -> Optional[str]:
         sib = f"{prefix}_qkv" if prefix else "qkv"
         if sib in all_names:
             return "row"
-    elif module_name.endswith("proj_out"):
-        prefix = module_name[: -len("_proj_out")]
-        if f"{prefix}_proj_in" in all_names:
+    elif module_name == "proj_out" or module_name.endswith("_proj_out"):
+        prefix = module_name[: -len("proj_out")].rstrip("_")
+        pin = f"{prefix}_proj_in" if prefix else "proj_in"
+        qkv = f"{prefix}_qkv" if prefix else "qkv"
+        if pin in all_names:
             return None  # SpatialTransformer boundary: keep replicated
-        if f"{prefix}_qkv" in all_names:
+        if qkv in all_names:
             return "row"  # guided-diffusion pixel attention
         return None
     for s in _COL_SUFFIXES:

@@ -117,7 +117,11 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
     """
     if mesh is None:
         mesh = pm.get_mesh()
-    n_dev = mesh.devices.size
+    # max_batch_size is the PER-DEVICE memory cap; the batch only splits over
+    # the 'data' axis, so a 2-D (data, model) tensor-parallel mesh must size
+    # chunks by the data extent, not the device count (each model-axis device
+    # holds the full data-row batch).
+    n_dev = dict(mesh.shape).get("data", mesh.devices.size)
     seeds = np.asarray(list(seeds), dtype=np.int64)
     n = len(seeds)
 

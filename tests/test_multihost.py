@@ -93,11 +93,9 @@ CHILD = textwrap.dedent("""
 
     mesh2d = tpmod.get_mesh_2d(2)
     assert mesh2d.shape == {"data": 2, "model": 2}
-    unet = LDMUNet(image_size=8, in_channels=4, out_channels=4,
-                   model_channels=32, attention_resolutions=(2,),
-                   num_res_blocks=1, channel_mult=(1, 2), num_heads=2,
-                   use_spatial_transformer=True, transformer_depth=1,
-                   context_dim=16, legacy=False)
+    # the ONE config definition lives in the parent (TP_UNET_KW) so this
+    # child and the parent's _tp_reference can never drift apart
+    unet = LDMUNet(**json.loads(os.environ["TP_UNET_KW"]))
     rs = np.random.RandomState(0)
     xg = rs.randn(4, 8, 8, 4).astype(np.float32)
     cg = rs.randn(4, 3, 16).astype(np.float32)
@@ -128,6 +126,15 @@ CHILD = textwrap.dedent("""
 """)
 
 
+# single source of truth for the cross-process TP network (the child script
+# receives it as json via the TP_UNET_KW env var)
+TP_UNET_KW = dict(image_size=8, in_channels=4, out_channels=4,
+                  model_channels=32, attention_resolutions=[2],
+                  num_res_blocks=1, channel_mult=[1, 2], num_heads=2,
+                  use_spatial_transformer=True, transformer_depth=1,
+                  context_dim=16, legacy=False)
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -152,6 +159,7 @@ def test_two_process_distributed_smoke(tmp_path):
             "DST_PROCESS_ID": str(rank),
             "REPO_ROOT": repo,
             "OUT_FILE": str(out_file),
+            "TP_UNET_KW": json.dumps(TP_UNET_KW),
         })
         env.pop("PALLAS_AXON_POOL_IPS", None)
         procs.append(subprocess.Popen([sys.executable, "-c", CHILD], env=env,
@@ -202,11 +210,7 @@ def _tp_reference():
 
     from diff_sampler_tpu.models.ldm import LDMUNet
 
-    unet = LDMUNet(image_size=8, in_channels=4, out_channels=4,
-                   model_channels=32, attention_resolutions=(2,),
-                   num_res_blocks=1, channel_mult=(1, 2), num_heads=2,
-                   use_spatial_transformer=True, transformer_depth=1,
-                   context_dim=16, legacy=False)
+    unet = LDMUNet(**TP_UNET_KW)
     rs = np.random.RandomState(0)
     xg = jnp.asarray(rs.randn(4, 8, 8, 4), jnp.float32)
     cg = jnp.asarray(rs.randn(4, 3, 16), jnp.float32)

@@ -167,3 +167,34 @@ def test_sample_cli_sd_gits_dp(tmp_path, monkeypatch):
     assert res.exit_code == 0, res.output
     assert "GITS dp_list" in res.output
     assert len(sorted(out.glob("*.png"))) == 4
+
+
+@pytest.mark.slow
+def test_train_sfd_cli_resume_with_optimizer_state(tmp_path, monkeypatch):
+    """--resume must restore params AND Adam moments from a snapshot (the
+    unflatten used a nonexistent jax.tree.util and crashed; the moment
+    structure now comes from jax.eval_shape without allocating)."""
+    from click.testing import CliRunner
+
+    from diff_sampler_tpu.cli.train_sfd import main
+    from diff_sampler_tpu.models import ldm as ldm_mod
+
+    monkeypatch.setattr(ldm_mod, "LDM_CONFIGS", _tiny_ldm_configs())
+    base = ["--dataset_name=lsun_bedroom_ldm", "--model_path=random",
+            "--batch=512", "--num_steps=3", "--m=1",
+            "--schedule_type=discrete", "--schedule_rho=1", "--afs=False",
+            "--guidance_type=uncond", "--tick=1", "--snap=1"]
+    out1 = tmp_path / "first"
+    res = CliRunner().invoke(main, base + [
+        f"--outdir={out1}", "--total_kimg=1"], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    snap = sorted(next(out1.iterdir()).glob("snapshot-*.npz"))[-1]
+
+    out2 = tmp_path / "second"
+    res = CliRunner().invoke(main, base + [
+        f"--outdir={out2}", "--total_kimg=2", f"--resume={snap}"],
+        catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert "Resumed from" in res.output
+    # the resumed run continued from 1 kimg, not from scratch
+    assert "kimg 2.05" in res.output or "kimg 2.0" in res.output, res.output

@@ -126,11 +126,9 @@ def test_latent_sfd_train_step_tp_dp():
     equal to the replicated step, updated params keep their shardings."""
     import optax
 
-    from diff_sampler_tpu.models import ldm as ldm_mod
+    from diff_sampler_tpu.models.ldm import linear_alphas_cumprod
     from diff_sampler_tpu.models.precond import CFGPrecond
     from diff_sampler_tpu.training.sfd import SFDConfig, make_ldm_train_step
-
-    from diff_sampler_tpu.models.ldm import linear_alphas_cumprod
 
     unet = _tiny_ldm_unet()
     rs = np.random.RandomState(0)
