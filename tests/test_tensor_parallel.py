@@ -273,3 +273,43 @@ def test_train_sfd_cli_tp(tmp_path, monkeypatch):
     stats = (run / "stats.jsonl").read_text().strip().splitlines()
     assert stats and np.isfinite(
         json.loads(stats[-1])["Loss/loss"]["mean"])
+
+
+def test_adm_unet_tp_forward_parity():
+    """The guided-diffusion naming (qkv / proj_out with a qkv sibling,
+    in_layers/out_layers conv pairs) gets the same col/row treatment; the
+    scale-shift-norm emb_layers (2*cout fused output) stays replicated."""
+    from diff_sampler_tpu.models.adm import ADMUNet
+
+    unet = ADMUNet(image_size=32, in_channels=3, out_channels=3,
+                   model_channels=32, num_res_blocks=1,
+                   attention_resolutions=(4,), num_heads=4,
+                   num_head_channels=16, use_scale_shift_norm=True,
+                   resblock_updown=True)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(4, 32, 32, 3), jnp.float32)
+    t = jnp.asarray([10.0, 100.0, 500.0, 900.0], jnp.float32)
+    params = unet.init(jax.random.key(0), x, t)["params"]
+
+    specs = tpmod.tp_param_specs(params, tp_size=2)
+    flat = {k: tuple(v["kernel"]) for k, v in specs.items() if "kernel" in v}
+    qkv = [k for k in flat if k.endswith("_qkv")]
+    assert qkv and all(flat[k] == (None, None, None, "model") for k in qkv)
+    pouts = [k for k in flat if k.endswith("_proj_out")]
+    assert pouts and all(flat[k] == (None, None, "model", None)
+                         for k in pouts)
+    ins = [k for k in flat if k.endswith("_in_layers_2")]
+    assert ins and all(flat[k] == (None, None, None, "model") for k in ins)
+    outs = [k for k in flat if k.endswith("_out_layers_3")]
+    assert outs and all(flat[k] == (None, None, "model", None) for k in outs)
+    embs = [k for k in flat if k.endswith("_emb_layers_1")]
+    assert embs and all(flat[k] == () for k in embs)  # ssn modulation
+
+    ref = jax.jit(lambda p: unet.apply({"params": p}, x, t))(params)
+    mesh = tpmod.get_mesh_2d(2)
+    params_tp = tpmod.shard_params_tp(params, mesh, specs)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+    out = jax.jit(lambda p, z: unet.apply({"params": p}, z, t),
+                  out_shardings=NamedSharding(mesh, P()))(params_tp, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
