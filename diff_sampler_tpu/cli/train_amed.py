@@ -62,6 +62,10 @@ from ..utils.rng import stacked_randn
               help="Microbatch for gradient accumulation (reference "
                    "--batch-gpu); a 16GB v5e fits 256 directly")
 @click.option("--lr", type=float, default=5e-3)
+@click.option("--tp", type=int, default=1,
+              help="Tensor-parallel degree for the latent tiers: the frozen "
+                   "LDM/SD net the predictor trains through is sharded over "
+                   "a (data, model) mesh (parallel/tp.py)")
 @click.option("--desc", type=str, default=None)
 @click.option("--tick", type=click.IntRange(min=1), default=1)
 @click.option("--seed", type=int, default=0)
@@ -69,7 +73,7 @@ from ..utils.rng import stacked_randn
 def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
          total_kimg, model_path, num_steps, sampler_stu, sampler_tea, M,
          schedule_type, schedule_rho, afs, scale_dir, scale_time, max_order,
-         predict_x0, lower_order_final, batch, batch_gpu, lr, desc, tick,
+         predict_x0, lower_order_final, batch, batch_gpu, lr, tp, desc, tick,
          seed, dry_run):
     import jax
     import optax
@@ -115,6 +119,21 @@ def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
     sigma_fn = getattr(module, "sigma", None)
     sigma_inv_fn = getattr(module, "sigma_inv", None)
 
+    tp_mesh = None
+    if tp > 1:
+        # must happen BEFORE the denoise closures below bind the bottleneck
+        if src not in ("ldm", "sd"):
+            raise click.ClickException(
+                "--tp currently shards the latent (LDM/SD) tiers only")
+        from ..models.factory import shard_ldm_tensor_parallel
+        from ..parallel import tp as tpmod
+
+        tp_mesh = tpmod.get_mesh_2d(tp)
+        shard_ldm_tensor_parallel(module, tp_mesh)
+        params = module.latent_diffusion.unet_params  # drop unsharded tree
+        print0(f"Tensor parallel: frozen net sharded over "
+               f"mesh {dict(tp_mesh.shape)}")
+
     conditional = src == "adm"  # CG tier draws random labels per trajectory
     text_cond = src == "sd"  # SD draws random captions (training_loop.py:173-180)
     denoise_factory = None
@@ -150,7 +169,7 @@ def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
     optimizer = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     opt_state = optimizer.init(pred_params)
 
-    mesh = get_mesh()
+    mesh = tp_mesh if tp_mesh is not None else get_mesh()
     rep = replicated(mesh)
     shard = data_sharding(mesh, 4)
     step_fn = make_amed_train_step(pred, den_b, cfg, optimizer,

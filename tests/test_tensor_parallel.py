@@ -313,3 +313,32 @@ def test_adm_unet_tp_forward_parity():
                   out_shardings=NamedSharding(mesh, P()))(params_tp, xs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_train_amed_cli_tp(tmp_path, monkeypatch):
+    """AMED `--tp=2` on the SD tier: the frozen CFG-doubled net the
+    predictor trains through is tensor-sharded; training completes."""
+    from click.testing import CliRunner
+
+    from diff_sampler_tpu.cli.train_amed import main
+    from diff_sampler_tpu.models import ldm as ldm_mod
+    from test_amed_tiers import RES, SD_KW
+
+    tiny = dict(
+        linear_start=0.00085, linear_end=0.0120, timesteps=100,
+        scale_factor=0.18215, conditioning_key="crossattn", first_stage="kl",
+        unet=dict(SD_KW),
+        vae=dict(z_channels=4, resolution=RES * 2, ch=32, ch_mult=(1, 2),
+                 num_res_blocks=1, attn_resolutions=(), double_z=True),
+        embed_dim=4)
+    monkeypatch.setattr(ldm_mod, "LDM_CONFIGS",
+                        {**ldm_mod.LDM_CONFIGS, "ms_coco": tiny})
+    res = CliRunner().invoke(main, [
+        f"--outdir={tmp_path}", "--dataset_name=ms_coco",
+        "--model_path=random", "--guidance_type=cfg", "--guidance_rate=7.5",
+        "--total_kimg=1", "--batch=512", "--tp=2", "--num_steps=3", "--m=1",
+        "--sampler_tea=euler", "--schedule_type=discrete",
+        "--schedule_rho=1", "--afs=False"], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert "Tensor parallel" in res.output
