@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "sdpa"]
+__all__ = ["flash_attention", "flash_attention_mh", "sdpa"]
 
 _NEG_INF = -1e30
 
@@ -149,6 +149,143 @@ def _flash_fwd_res(q, k, v, scale, block_q=512, block_k=1024,
 def _flash_fwd(q, k, v, scale, block_q=512, block_k=1024, interpret=False):
     """q, k, v: [B, T, d] -> [B, T, d]."""
     return _flash_fwd_res(q, k, v, scale, block_q, block_k, interpret)[0]
+
+
+def _attn_kernel_mh(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, num_heads,
+                    block_k, seq_len, kv_len):
+    """One (b, q_tile) program over channel-packed [B, T, H*d] inputs.
+
+    The U-Net's native token layout is consumed directly -- no
+    [B,T,H,d]->[B*H,T,d] HBM transpose pass and no d->128 zero-pad copies.
+    Heads live side by side on the lane axis (full-lane blocks keep the
+    Mosaic (8,128) block rule happy for ANY head count -- a singleton head
+    block dim would violate it for H not divisible by 8); the kernel loops
+    heads with static lane slices, so each head's qk contraction runs over
+    its true d (half MXU rate at d=64 -- still strictly cheaper than
+    doubling both matmuls on padded lanes, and HBM never sees it)."""
+    bq = q_ref.shape[1]
+    d = q_ref.shape[2] // num_heads
+    num_k = kv_len // block_k
+    masked = kv_len != seq_len
+
+    for h in range(num_heads):
+        q = q_ref[0, :, h * d:(h + 1) * d]  # [bq, d] static lane slice
+
+        def body(i, carry, q=q, h=h):
+            acc, m_prev, l_prev = carry
+            k = k_ref[0, pl.ds(i * block_k, block_k), h * d:(h + 1) * d]
+            v = v_ref[0, pl.ds(i * block_k, block_k), h * d:(h + 1) * d]
+            logits = scale * jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [bq, bk]
+            if masked:
+                col = i * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, logits.shape, 1)
+                logits = jnp.where(col < seq_len, logits, _NEG_INF)
+            m_cur = jnp.max(logits, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(logits - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc, m_new, l_new
+
+        acc = jnp.zeros((bq, d), jnp.float32)
+        m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc, m0, l0))
+        o_ref[0, :, h * d:(h + 1) * d] = (acc / l).astype(o_ref.dtype)
+        lse_ref[0, h, :] = (m + jnp.log(l)).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "block_q",
+                                             "block_k", "interpret"))
+def _flash_fwd_mh_res(q, k, v, num_heads, scale, block_q=512, block_k=1024,
+                      interpret=False):
+    """q, k, v: [B, T, H*d] -> (out [B, T, H*d], lse [B, H, Tq] f32)."""
+    b, t, c = q.shape
+    block_q = min(block_q, ((t + 127) // 128) * 128)
+    block_k = min(block_k, ((t + 127) // 128) * 128)
+    q, _ = _pad_to(q, 1, block_q)
+    k, _ = _pad_to(k, 1, block_k)
+    v, _ = _pad_to(v, 1, block_k)
+    tq, tk = q.shape[1], k.shape[1]
+
+    grid = (b, tq // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_attn_kernel_mh, scale=scale, num_heads=num_heads,
+                          block_k=block_k, seq_len=t, kv_len=tk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, tk, c), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, tk, c), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, num_heads, block_q), lambda bi, qi: (bi, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tq, c), q.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, tq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :t], lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_mh(q, k, v, scale, interpret=False):
+    """Multi-head fused attention on the native token layout.
+
+    q, k, v: [B, T, H, d], attention within each (batch, head) pair.
+    Forward never touches HBM beyond the inputs/outputs themselves (the
+    [B,T,H,d]->[B,T,H*d] view is a free reshape of contiguous memory; no
+    head flattening, no lane padding); the backward flattens to the
+    [B*H, T, d] kernels (training-path perf unchanged -- those transposes
+    existed in `sdpa` before this kernel did)."""
+    b, t, h, d = q.shape
+    out, _ = _flash_fwd_mh_res(q.reshape(b, t, h * d), k.reshape(b, t, h * d),
+                               v.reshape(b, t, h * d), h, scale,
+                               interpret=interpret)
+    return out.reshape(b, t, h, d)
+
+
+def _mh_fwd(q, k, v, scale, interpret):
+    b, t, h, d = q.shape
+    out, lse = _flash_fwd_mh_res(q.reshape(b, t, h * d),
+                                 k.reshape(b, t, h * d),
+                                 v.reshape(b, t, h * d), h, scale,
+                                 interpret=interpret)
+    out = out.reshape(b, t, h, d)
+    return out, (q, k, v, out, lse)
+
+
+def _mh_bwd(scale, interpret, res, g):
+    q, k, v, out, lse = res
+    b, t, h, d = q.shape
+
+    def flat(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+
+    def unflat(x):
+        return x.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+    if _use_flash_bwd(b * h, t):
+        dq, dk, dv = _flash_bwd(flat(q), flat(k), flat(v), flat(out),
+                                lse.reshape(b * h, 1, -1), flat(g), scale,
+                                interpret=interpret)
+    else:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _reference_sdpa(q_, k_, v_, scale),
+            flat(q), flat(k), flat(v))
+        dq, dk, dv = vjp(flat(g))
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+flash_attention_mh.defvjp(_mh_fwd, _mh_bwd)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref,
@@ -375,6 +512,11 @@ def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
         scale = 1.0 / math.sqrt(d)
     on_tpu = jax.default_backend() == "tpu"
     use_flash = force_flash or (on_tpu and t >= min_flash_tokens)
+    if use_flash and d % 8 == 0:
+        # multi-head kernel on the native [B, T, H, d] layout: no HBM
+        # transposes, no d->128 pad.  In-model this is where the ADM
+        # tier's 46%-MXU gap lived (BENCH_NOTES round-3 ADM probe).
+        return flash_attention_mh(q, k, v, float(scale), not on_tpu)
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, t, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, t, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)

@@ -126,3 +126,79 @@ def test_flash_ragged_lengths(t, d):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
     assert not np.isnan(np.asarray(ours)).any()
+
+
+@pytest.mark.parametrize("b,t,h,d", [(2, 1024, 6, 64), (3, 256, 9, 64),
+                                     (2, 200, 2, 64), (1, 64, 12, 64),
+                                     (2, 300, 5, 40)])
+def test_flash_mh_matches_reference(b, t, h, d):
+    """flash_attention_mh consumes the native [B, T, H, d] layout (the fix
+    for the ADM tier's 46% model MXU -- BENCH_NOTES round-3 ADM probe) and
+    must match the head-flattened einsum reference, ragged T included."""
+    from diff_sampler_tpu.ops.pallas_attention import flash_attention_mh
+
+    rng = np.random.RandomState(7)
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32) * 0.3)
+               for _ in range(3))
+    s = float(1 / np.sqrt(d))
+
+    def ref(q_, k_, v_):
+        f = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+        out = _reference_sdpa(f(q_), f(k_), f(v_), s)
+        return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+    ours = flash_attention_mh(q, k, v, s, True)  # interpret mode
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref(q, k, v)),
+                               rtol=2e-4, atol=2e-4)
+    assert not np.isnan(np.asarray(ours)).any()
+
+
+@pytest.mark.parametrize("force_flash_bwd", [True, False])
+def test_flash_mh_gradients(force_flash_bwd, monkeypatch):
+    """Both mh backward branches (flat Pallas kernels above the logits-byte
+    threshold, einsum-recompute VJP below) match the reference grads."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    if force_flash_bwd:
+        monkeypatch.setattr(PA, "_FLASH_BWD_MIN_LOGITS_BYTES", 0)
+    b, t, h, d = 2, 200, 3, 64
+    rng = np.random.RandomState(8)
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32) * 0.3)
+               for _ in range(3))
+    s = float(1 / np.sqrt(d))
+
+    def ref(q_, k_, v_):
+        f = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+        out = _reference_sdpa(f(q_), f(k_), f(v_), s)
+        return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+    loss_mh = lambda *a: (PA.flash_attention_mh(*a, s, True) ** 2).sum()
+    loss_ref = lambda *a: (ref(*a) ** 2).sum()
+    g1 = jax.grad(loss_mh, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3,
+                                   atol=1e-4, err_msg=f"d{name}")
+
+
+def test_sdpa_routes_flash_to_mh_kernel(monkeypatch):
+    """The sdpa flash path must use the mh kernel (no transposes) whenever
+    d is a sublane multiple, and still match the einsum path numerically."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    called = {}
+    real = PA.flash_attention_mh
+
+    def spy(q, k, v, scale, interpret=False):
+        called["mh"] = True
+        return real(q, k, v, scale, interpret)
+
+    monkeypatch.setattr(PA, "flash_attention_mh", spy)
+    rng = np.random.RandomState(9)
+    q, k, v = (jnp.asarray(rng.randn(2, 128, 4, 64).astype(np.float32) * 0.3)
+               for _ in range(3))
+    out_flash = PA.sdpa(q, k, v, force_flash=True)
+    assert called.get("mh")
+    out_einsum = PA.sdpa(q, k, v)  # T < min_flash_tokens -> einsum
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_einsum),
+                               rtol=2e-4, atol=2e-4)
