@@ -492,6 +492,26 @@ def _bwd(scale, interpret, res, g):
 flash_attention.defvjp(_fwd, _bwd)
 
 
+# Both forward kernels keep the FULL (padded) K and V for one batch row in
+# VMEM and stream only the q tiles; with Pallas double-buffering the scoped
+# VMEM cost is ~2x the block bytes.  The v5e scoped-vmem limit is 16 MB
+# (measured: [B,T,H*d]=[2,4096,512] bf16 fails at 18.04M), so estimate the
+# footprint and fall back (mh -> flat -> einsum) instead of ever OOMing.
+_VMEM_BUDGET_BYTES = 12 * 1024**2
+
+
+def _fwd_vmem_bytes(block_q, tk, width, itemsize):
+    # double-buffered {k, v} at [1, tk, width] + {q, o} at [1, block_q, width]
+    return 2 * (2 * tk * width + 2 * block_q * width) * itemsize
+
+
+def _fits_vmem(t, width, itemsize, block_q=512, block_k=1024):
+    tpad = ((t + 127) // 128) * 128
+    bq = min(block_q, tpad)
+    tk = ((t + min(block_k, tpad) - 1) // min(block_k, tpad)) * min(block_k, tpad)
+    return _fwd_vmem_bytes(bq, tk, width, itemsize) <= _VMEM_BUDGET_BYTES
+
+
 def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
          force_flash: bool = False):
     """Scaled-dot-product attention dispatcher.
@@ -512,7 +532,8 @@ def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
         scale = 1.0 / math.sqrt(d)
     on_tpu = jax.default_backend() == "tpu"
     use_flash = force_flash or (on_tpu and t >= min_flash_tokens)
-    if use_flash and d % 8 == 0:
+    itemsize = jnp.dtype(q.dtype).itemsize
+    if use_flash and d % 8 == 0 and _fits_vmem(t, h * d, itemsize):
         # multi-head kernel on the native [B, T, H, d] layout: no HBM
         # transposes, no d->128 pad.  In-model this is where the ADM
         # tier's 46%-MXU gap lived (BENCH_NOTES round-3 ADM probe).
@@ -520,7 +541,7 @@ def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, t, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, t, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)
-    if use_flash:
+    if use_flash and _fits_vmem(t, ((d + 127) // 128) * 128, itemsize):
         out = flash_attention(qf, kf, vf, float(scale),
                               not on_tpu)  # interpret off-TPU (tests)
     else:

@@ -202,3 +202,38 @@ def test_sdpa_routes_flash_to_mh_kernel(monkeypatch):
     out_einsum = PA.sdpa(q, k, v)  # T < min_flash_tokens -> einsum
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_einsum),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sdpa_vmem_guard(monkeypatch):
+    """Shapes whose whole-K/V-in-VMEM layout would blow the 16 MB scoped
+    limit (measured: [2, 4096, 1, 512] bf16 fails at 18.04M) must fall back
+    instead of OOMing -- mh -> flat -> einsum by footprint."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    # measured-OOM shape: neither kernel fits (width 512 either way)
+    assert not PA._fits_vmem(4096, 1 * 512, 2)
+    # SD 512px self-attention (T=4096, 5 heads x 64): fits, keeps the mh path
+    assert PA._fits_vmem(4096, 5 * 64, 2)
+    # ADM ImageNet-64 32x32 level (T=1024, c=384): fits
+    assert PA._fits_vmem(1024, 384, 2)
+    # f32 doubles the footprint: the SD shape must drop out again
+    assert not PA._fits_vmem(4096, 5 * 64, 4)
+
+    calls = []
+    monkeypatch.setattr(
+        PA, "flash_attention_mh",
+        lambda *a, **k: calls.append("mh") or pytest.fail("mh dispatched"))
+    monkeypatch.setattr(
+        PA, "flash_attention",
+        lambda *a, **k: calls.append("flat") or pytest.fail("flat dispatched"))
+    rng = np.random.RandomState(3)
+    b, t, h, d = 1, 4096, 1, 512
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32) * 0.3)
+               for _ in range(3))
+    out = PA.sdpa(q, k, v, force_flash=True)  # einsum fallback, silently
+    f = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    ref = PA._reference_sdpa(f(q), f(k), f(v), float(1 / np.sqrt(d)))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref.reshape(b, h, t, d).transpose(0, 2, 1, 3)),
+        rtol=2e-5, atol=2e-5)
+    assert not calls
