@@ -236,8 +236,9 @@ def _flash_fwd_mh_res(q, k, v, num_heads, scale, block_q=512, block_k=1024,
     return out[:, :t], lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention_mh(q, k, v, scale, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_mh(q, k, v, scale, interpret=False, block_q=512,
+                       block_k=1024):
     """Multi-head fused attention on the native token layout.
 
     q, k, v: [B, T, H, d], attention within each (batch, head) pair.
@@ -249,21 +250,23 @@ def flash_attention_mh(q, k, v, scale, interpret=False):
     b, t, h, d = q.shape
     out, _ = _flash_fwd_mh_res(q.reshape(b, t, h * d), k.reshape(b, t, h * d),
                                v.reshape(b, t, h * d), h, scale,
+                               block_q=block_q, block_k=block_k,
                                interpret=interpret)
     return out.reshape(b, t, h, d)
 
 
-def _mh_fwd(q, k, v, scale, interpret):
+def _mh_fwd(q, k, v, scale, interpret, block_q, block_k):
     b, t, h, d = q.shape
     out, lse = _flash_fwd_mh_res(q.reshape(b, t, h * d),
                                  k.reshape(b, t, h * d),
                                  v.reshape(b, t, h * d), h, scale,
+                                 block_q=block_q, block_k=block_k,
                                  interpret=interpret)
     out = out.reshape(b, t, h, d)
     return out, (q, k, v, out, lse)
 
 
-def _mh_bwd(scale, interpret, res, g):
+def _mh_bwd(scale, interpret, block_q, block_k, res, g):
     q, k, v, out, lse = res
     b, t, h, d = q.shape
 
@@ -512,6 +515,40 @@ def _fits_vmem(t, width, itemsize, block_q=512, block_k=1024):
     return _fwd_vmem_bytes(bq, tk, width, itemsize) <= _VMEM_BUDGET_BYTES
 
 
+# The mh kernel's Python head loop unrolls, and Mosaic's kernel STACK keeps
+# ~0.7 live f32 [block_q, block_k] logit-sized temporaries per unrolled
+# head on top of the double-buffered IO blocks.  Calibrated on chip
+# (2026-08-18): width=448 H=14 bq=512 bk=1024 demanded 24.25 MB (= 5.5 IO
+# + 18.75 stack = 0.67*H*bq*bk*4) against the 16 MB scoped limit and OOMed
+# at compile; width=384 H=6 (est 13.1 MB) compiled and ran.  The guard
+# that only counted IO dispatched the OOM case (found by ldm_probe).
+_MH_VMEM_BUDGET_BYTES = 15 * 1024**2
+
+
+def _mh_vmem_bytes(block_q, block_k, tk, width, num_heads, itemsize):
+    io = 2 * (2 * tk * width + 2 * block_q * width) * itemsize
+    stack = int(0.7 * num_heads * block_q * block_k * 4)
+    return io + stack
+
+
+def _mh_plan(t, width, num_heads, itemsize, block_q=512, block_k=1024):
+    """Largest (block_q, block_k) whose estimated mh-kernel VMEM fits, or
+    None (-> flat kernel) if even 128x128 blocks do not."""
+    tpad = ((t + 127) // 128) * 128
+    bq, bk = min(block_q, tpad), min(block_k, tpad)
+    while True:
+        tk = ((t + bk - 1) // bk) * bk
+        if _mh_vmem_bytes(bq, bk, tk, width, num_heads, itemsize) \
+                <= _MH_VMEM_BUDGET_BYTES:
+            return bq, bk
+        if bq > 128:
+            bq //= 2
+        elif bk > 128:
+            bk //= 2
+        else:
+            return None
+
+
 def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
          force_flash: bool = False):
     """Scaled-dot-product attention dispatcher.
@@ -533,17 +570,25 @@ def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
     on_tpu = jax.default_backend() == "tpu"
     use_flash = force_flash or (on_tpu and t >= min_flash_tokens)
     itemsize = jnp.dtype(q.dtype).itemsize
-    if use_flash and d % 8 == 0 and _fits_vmem(t, h * d, itemsize):
+    plan = _mh_plan(t, h * d, h, itemsize) if (use_flash and d % 8 == 0) \
+        else None
+    if plan is not None:
         # multi-head kernel on the native [B, T, H, d] layout: no HBM
         # transposes, no d->128 pad.  In-model this is where the ADM
         # tier's 46%-MXU gap lived (BENCH_NOTES round-3 ADM probe).
-        return flash_attention_mh(q, k, v, float(scale), not on_tpu)
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, t, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, t, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+        return flash_attention_mh(q, k, v, float(scale), not on_tpu,
+                                  plan[0], plan[1])
     if use_flash and _fits_vmem(t, ((d + 127) // 128) * 128, itemsize):
+        qf = q.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+        kf = k.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+        vf = v.transpose(0, 2, 1, 3).reshape(b * h, t, d)
         out = flash_attention(qf, kf, vf, float(scale),
                               not on_tpu)  # interpret off-TPU (tests)
-    else:
-        out = _reference_sdpa(qf, kf, vf, scale)
-    return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+        return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    # Small-T einsum path on the NATIVE layout: batched dims stay batched
+    # and XLA picks the layouts -- no explicit [B,T,H,d]->[B*H,T,d] HBM
+    # transpose passes (ADM-64's 8x8 attention lives here).
+    logits = scale * jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v)

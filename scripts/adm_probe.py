@@ -39,15 +39,19 @@ def chained_ms(fn, x, sigma, lo=4, hi=12, params=None):
     else:
         jfn = jax.jit(fn)
         call = lambda z: jfn(z, sigma)
+    # A SCALAR D2H data-dependent on the whole chain is what actually
+    # fences on the axon tunnel -- block_until_ready alone under-reported
+    # the 274M LDM no_attn eval as 0.79 ms (2026-08-18, ldm_probe).
+    fence = jax.jit(lambda z: jnp.sum(z.astype(jnp.float32)))
     y = call(x)
-    jax.block_until_ready(y)
+    float(fence(y))
 
     def run(n):
         t0 = time.perf_counter()
         z = x
         for _ in range(n):
             z = call(z)
-        jax.block_until_ready(z)
+        float(fence(z))
         return time.perf_counter() - t0
 
     run(2)  # warm

@@ -66,7 +66,9 @@ def main():
     print("devices:", jax.devices())
 
     from diff_sampler_tpu.ops.pallas_attention import (_reference_sdpa,
-                                                       flash_attention, sdpa)
+                                                       flash_attention,
+                                                       flash_attention_mh,
+                                                       sdpa)
 
     d = 64
     for spec in args.shapes:
@@ -101,6 +103,22 @@ def main():
             elif variant == "einsum":
                 fn = lambda q, k, v: _reference_sdpa(q, k, v, scale)
                 a = flat
+                fl = flops
+            elif variant == "mh":
+                # multi-head kernel on the native layout (no transposes,
+                # no d-pad; per-head d=64 MXU slices)
+                fn = lambda q, k, v: flash_attention_mh(q, k, v, float(scale))
+                a = nhwc
+                fl = flops
+            elif variant == "native_einsum":
+                # small-T sdpa fallback: batched einsum on the native layout
+                def fn(q, k, v):
+                    logits = scale * jnp.einsum(
+                        "bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+                    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+                    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+                a = nhwc
                 fl = flops
             else:
                 raise SystemExit(f"unknown variant {variant}")

@@ -189,9 +189,9 @@ def test_sdpa_routes_flash_to_mh_kernel(monkeypatch):
     called = {}
     real = PA.flash_attention_mh
 
-    def spy(q, k, v, scale, interpret=False):
+    def spy(q, k, v, scale, interpret=False, block_q=512, block_k=1024):
         called["mh"] = True
-        return real(q, k, v, scale, interpret)
+        return real(q, k, v, scale, interpret, block_q, block_k)
 
     monkeypatch.setattr(PA, "flash_attention_mh", spy)
     rng = np.random.RandomState(9)
@@ -202,6 +202,43 @@ def test_sdpa_routes_flash_to_mh_kernel(monkeypatch):
     out_einsum = PA.sdpa(q, k, v)  # T < min_flash_tokens -> einsum
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_einsum),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_mh_vmem_plan():
+    """The mh kernel's VMEM estimate must count the unrolled head loop's
+    f32 logit temporaries (Mosaic kernel stack), not just the IO blocks:
+    the IO-only guard dispatched LDM lsun_bedroom's 32x32 level (T=1024,
+    width=448, H=14) and the compile OOMed at 24.25 MB against the 16 MB
+    scoped limit (measured 2026-08-18).  Calibration anchors:"""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    # measured-OOM LDM shape: the default (512, 1024) blocks must shrink
+    plan = PA._mh_plan(1024, 448, 14, 2)
+    assert plan is not None and plan < (512, 1024)
+    est = PA._mh_vmem_bytes(512, 1024, 1024, 448, 14, 2)
+    assert est > 16 * 1024**2  # the guard now sees the measured OOM
+    # measured-good ADM ImageNet-64 shape keeps the default blocks
+    assert PA._mh_plan(1024, 384, 6, 2) == (512, 1024)
+    # hopeless width: no block size fits -> flat/einsum fallback
+    assert PA._mh_plan(4096, 512, 1, 4) is None
+
+
+def test_mh_small_blocks_match_reference():
+    """Shrunken-block mh kernel (the post-plan LDM config) stays exact."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    rng = np.random.RandomState(11)
+    b, t, h, d = 2, 320, 3, 32
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32) * 0.3)
+               for _ in range(3))
+    s = float(1.0 / np.sqrt(d))
+    ours = PA.flash_attention_mh(q, k, v, s, True, 128, 128)  # interpret
+    f = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    ref = PA._reference_sdpa(f(q), f(k), f(v), s)
+    np.testing.assert_allclose(
+        np.asarray(ours),
+        np.asarray(ref.reshape(b, h, t, d).transpose(0, 2, 1, 3)),
+        rtol=2e-5, atol=2e-5)
 
 
 def test_sdpa_vmem_guard(monkeypatch):
