@@ -95,18 +95,29 @@ def make_openclip_encoders(checkpoint_path: str, tokenizer=None,
             return encode_ids(jnp.asarray(prompts, jnp.int32))
         tok = tokenizer
         if tok is None:
-            from transformers import CLIPTokenizer
+            # the in-repo BPE tokenizer (utils/bpe.py) is the default: only
+            # the merges FILE is an artifact, the algorithm is local
+            from ..utils.bpe import SimpleBPETokenizer, find_vocab_file
 
-            try:
-                tok_obj = CLIPTokenizer.from_pretrained(
-                    "openai/clip-vit-large-patch14")
-            except Exception as e:
-                raise RuntimeError(
-                    "CLIP BPE vocab unavailable offline; pass a tokenizer or "
-                    "pre-tokenized [B, 77] ids") from e
-            tok = lambda ps: tok_obj(  # noqa: E731
-                ps, truncation=True, max_length=cfg.context_length,
-                padding="max_length", return_tensors="np")["input_ids"]
+            if find_vocab_file() is not None:
+                tok = SimpleBPETokenizer.from_default_paths(
+                    context_length=cfg.context_length)
+            else:
+                from transformers import CLIPTokenizer
+
+                try:
+                    tok_obj = CLIPTokenizer.from_pretrained(
+                        "openai/clip-vit-large-patch14")
+                except Exception as e:
+                    raise RuntimeError(
+                        "CLIP BPE vocab unavailable offline; place "
+                        "bpe_simple_vocab_16e6.txt.gz or merges.txt where "
+                        "utils.bpe.find_vocab_file looks (or set "
+                        "$CLIP_BPE_VOCAB), or pass a tokenizer / "
+                        "pre-tokenized [B, 77] ids") from e
+                tok = lambda ps: tok_obj(  # noqa: E731
+                    ps, truncation=True, max_length=cfg.context_length,
+                    padding="max_length", return_tensors="np")["input_ids"]
         return encode_ids(jnp.asarray(tok(list(prompts)), jnp.int32))
 
     return image_embed, text_embed

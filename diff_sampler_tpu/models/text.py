@@ -52,6 +52,18 @@ class FrozenCLIPEmbedder:
 
     def _get_tokenizer(self):
         if self.tokenizer is None:
+            # in-repo BPE (utils/bpe.py) first -- EOT padding, matching
+            # CLIPTokenizer's pad token: SD cross-attention consumes ALL 77
+            # hidden states, so pad ids are numerically load-bearing here
+            # (unlike CLIP-score pooling, which reads only the first EOT)
+            from ..utils.bpe import SimpleBPETokenizer, find_vocab_file
+
+            if find_vocab_file() is not None:
+                tok = SimpleBPETokenizer.from_default_paths(context_length=77)
+                tok.pad_id = tok.eot_id
+                self.tokenizer = lambda prompts, **kw: {
+                    "input_ids": tok(list(prompts))}
+                return self.tokenizer
             from transformers import CLIPTokenizer
 
             try:
@@ -59,7 +71,8 @@ class FrozenCLIPEmbedder:
             except Exception as e:
                 raise RuntimeError(
                     "CLIP tokenizer vocab unavailable offline; pass token ids "
-                    "to encode_ids() or a tokenizer instance") from e
+                    "to encode_ids() or a tokenizer instance, or place a BPE "
+                    "vocab file where utils.bpe.find_vocab_file looks") from e
         return self.tokenizer
 
     def encode_ids(self, input_ids: np.ndarray) -> np.ndarray:
