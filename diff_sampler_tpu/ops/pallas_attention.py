@@ -527,26 +527,91 @@ _MH_VMEM_BUDGET_BYTES = 15 * 1024**2
 
 def _mh_vmem_bytes(block_q, block_k, tk, width, num_heads, itemsize):
     io = 2 * (2 * tk * width + 2 * block_q * width) * itemsize
-    stack = int(0.7 * num_heads * block_q * block_k * 4)
+    # stack coefficient rounded UP from the single measured anchor (0.67)
+    # to 0.75 until more anchors exist; on TPU the estimate is only a
+    # prefilter -- _mh_plan_verified compile-probes the plan before use
+    stack = int(0.75 * num_heads * block_q * block_k * 4)
     return io + stack
+
+
+def _snap128(v):
+    """Round down to a multiple of 128, floored at 128 (the TPU lane/block
+    granularity both kernels assume)."""
+    return max(128, v // 128 * 128)
 
 
 def _mh_plan(t, width, num_heads, itemsize, block_q=512, block_k=1024):
     """Largest (block_q, block_k) whose estimated mh-kernel VMEM fits, or
-    None (-> flat kernel) if even 128x128 blocks do not."""
+    None (-> flat kernel) if even 128x128 blocks do not.
+
+    Blocks stay multiples of 128: halving snaps down via _snap128 (a
+    non-power-of-two padded T like 384 would otherwise halve to 192/96,
+    shapes never calibrated against the stack model)."""
     tpad = ((t + 127) // 128) * 128
-    bq, bk = min(block_q, tpad), min(block_k, tpad)
+    bq, bk = _snap128(min(block_q, tpad)), _snap128(min(block_k, tpad))
     while True:
         tk = ((t + bk - 1) // bk) * bk
         if _mh_vmem_bytes(bq, bk, tk, width, num_heads, itemsize) \
                 <= _MH_VMEM_BUDGET_BYTES:
             return bq, bk
         if bq > 128:
-            bq //= 2
+            bq = _snap128(bq // 2)
         elif bk > 128:
-            bk //= 2
+            bk = _snap128(bk // 2)
         else:
             return None
+
+
+# The stack-size estimate behind _mh_plan is a 2-anchor heuristic (one OOM,
+# one pass -- see above); a Mosaic/libtpu update could shift the constant
+# and turn an estimate-approved plan into a compile-time OOM in production.
+# On TPU the plan is therefore VERIFIED by AOT-compiling the kernel
+# standalone at B=1 (scoped-VMEM demand is per-program, so B=1 probes the
+# real footprint) and shrunk until a plan actually compiles; results are
+# cached per (t, width, heads, itemsize, backend).  Off-TPU (interpret
+# mode) nothing can OOM, so the estimate alone is used.
+_MH_PLAN_CACHE: dict = {}
+
+
+def _probe_enabled():
+    # interpret mode can't OOM; tests monkeypatch this to exercise the
+    # shrink-on-compile-failure path off-TPU
+    return jax.default_backend() == "tpu"
+
+
+def _mh_probe_compiles(t, width, num_heads, itemsize, bq, bk) -> bool:
+    dtype = jnp.bfloat16 if itemsize == 2 else jnp.float32
+    arg = jax.ShapeDtypeStruct((1, t, width), dtype)
+    try:
+        jax.jit(functools.partial(
+            _flash_fwd_mh_res, num_heads=num_heads, scale=1.0,
+            block_q=bq, block_k=bk)).lower(arg, arg, arg).compile()
+        return True
+    except Exception:
+        return False
+
+
+def _mh_plan_verified(t, width, num_heads, itemsize):
+    """_mh_plan + compile-probe fallback (TPU only).  Returns a plan whose
+    kernel is KNOWN to compile, or None for the flat/einsum path."""
+    key = (t, width, num_heads, itemsize, jax.default_backend())
+    if key in _MH_PLAN_CACHE:
+        return _MH_PLAN_CACHE[key]
+    plan = _mh_plan(t, width, num_heads, itemsize)
+    if _probe_enabled():
+        while plan is not None and not _mh_probe_compiles(
+                t, width, num_heads, itemsize, *plan):
+            bq, bk = plan
+            if bq > 128:
+                bq = _snap128(bq // 2)
+            elif bk > 128:
+                bk = _snap128(bk // 2)
+            else:
+                plan = None
+                break
+            plan = (bq, bk)
+    _MH_PLAN_CACHE[key] = plan
+    return plan
 
 
 def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
@@ -570,8 +635,8 @@ def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
     on_tpu = jax.default_backend() == "tpu"
     use_flash = force_flash or (on_tpu and t >= min_flash_tokens)
     itemsize = jnp.dtype(q.dtype).itemsize
-    plan = _mh_plan(t, h * d, h, itemsize) if (use_flash and d % 8 == 0) \
-        else None
+    plan = _mh_plan_verified(t, h * d, h, itemsize) \
+        if (use_flash and d % 8 == 0) else None
     if plan is not None:
         # multi-head kernel on the native [B, T, H, d] layout: no HBM
         # transposes, no d->128 pad.  In-model this is where the ADM

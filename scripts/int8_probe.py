@@ -61,6 +61,11 @@ def main():
                    default=["dot_bf16", "dot_int8", "conv_bf16", "conv_int8",
                             "conv_qdq"])
     args = p.parse_args()
+    # the dot variants chain y[:, :k] back as x, which is shape-correct
+    # feedback only when n == k (advisor finding, round 3)
+    if args.n != args.k:
+        p.error(f"--n ({args.n}) must equal --k ({args.k}): the chained "
+                "dot feeds y[:, :k] back as the next x")
     print("devices:", jax.devices())
 
     rng = np.random.RandomState(0)
@@ -85,7 +90,12 @@ def main():
 
             def fn(x, w):
                 y = jax.lax.dot(x, w, preferred_element_type=jnp.int32)
-                return jnp.clip(y[:, :k] >> 8, -127, 127).astype(jnp.int8)
+                out = jnp.clip(y[:, :k] >> 8, -127, 127).astype(jnp.int8)
+                # xor a full-reduction scalar into the feedback so XLA
+                # cannot elide the dot (round-3 run measured 1225% of
+                # peak = the shift/clip chain alone was not a strong
+                # enough data dependency)
+                return out ^ (jnp.sum(y) & 1).astype(jnp.int8)
             fl = 2 * m * k * n
             peak = 394e12
         elif variant == "conv_bf16":

@@ -274,3 +274,59 @@ def test_sdpa_vmem_guard(monkeypatch):
         np.asarray(out), np.asarray(ref.reshape(b, h, t, d).transpose(0, 2, 1, 3)),
         rtol=2e-5, atol=2e-5)
     assert not calls
+
+
+def test_mh_plan_snaps_to_128_multiples():
+    """Halving must keep blocks 128-multiples: a non-power-of-two padded T
+    (e.g. 384) would otherwise halve 384 -> 192 -> 96, dispatching shapes
+    never calibrated against the stack model (advisor finding, round 3)."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    assert PA._snap128(384 // 2) == 128
+    assert PA._snap128(512 // 2) == 256
+    assert PA._snap128(100) == 128
+    # the advisor's example: T=320 (tpad 384), width 1792, H=56
+    plan = PA._mh_plan(320, 1792, 56, 2)
+    if plan is not None:
+        assert plan[0] % 128 == 0 and plan[1] % 128 == 0
+    # sweep: every plan the planner can emit is a 128-multiple
+    for t in (256, 320, 640, 1024, 1152, 4096):
+        for width, heads in ((384, 6), (448, 14), (1792, 56)):
+            p = PA._mh_plan(t, width, heads, 2)
+            assert p is None or (p[0] % 128 == 0 and p[1] % 128 == 0)
+
+
+def test_mh_plan_verified_compile_probe_fallback(monkeypatch):
+    """If the estimate approves a plan whose kernel FAILS to compile (a
+    Mosaic/libtpu shift of the stack constant), _mh_plan_verified must
+    shrink until a probe passes -- never dispatch a known-bad plan."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    monkeypatch.setattr(PA, "_MH_PLAN_CACHE", {})
+    monkeypatch.setattr(PA, "_probe_enabled", lambda: True)
+    probed = []
+
+    def fake_probe(t, width, num_heads, itemsize, bq, bk):
+        probed.append((bq, bk))
+        return bq <= 128 and bk <= 256  # only tiny blocks "compile"
+
+    monkeypatch.setattr(PA, "_mh_probe_compiles", fake_probe)
+    plan = PA._mh_plan_verified(1024, 384, 6, 2)
+    assert plan == (128, 256)
+    assert probed[0] == (512, 1024)  # started from the estimate's plan
+    assert all(b % 128 == 0 for p in probed for b in p)
+    # cached: a second call must not re-probe
+    probed.clear()
+    assert PA._mh_plan_verified(1024, 384, 6, 2) == (128, 256)
+    assert not probed
+
+
+def test_mh_plan_verified_all_probes_fail(monkeypatch):
+    """When no block size compiles, the dispatcher gets None (flat/einsum
+    fallback) instead of a guaranteed compile error."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    monkeypatch.setattr(PA, "_MH_PLAN_CACHE", {})
+    monkeypatch.setattr(PA, "_probe_enabled", lambda: True)
+    monkeypatch.setattr(PA, "_mh_probe_compiles", lambda *a: False)
+    assert PA._mh_plan_verified(1024, 384, 6, 2) is None
