@@ -15,7 +15,10 @@ recomputing P from the forward's saved logsumexp) whenever the [B, T, T]
 f32 logits would exceed _FLASH_BWD_MIN_LOGITS_BYTES, so the logits never
 touch HBM in training either -- and with the transposed dK/dV kernel the
 flash backward is also 2.3-2.7x FASTER than the einsum recompute there;
-smaller shapes fall back to the einsum recompute under custom_vjp.
+smaller shapes fall back to the einsum recompute under custom_vjp.  The
+multi-head entry point has its own native backward on the channel-packed
+layout (_flash_bwd_mh: same k-major trick per head, no HBM transpose
+passes) with the flat kernels as fallback where its VMEM plan doesn't fit.
 
 Measured on one v5e chip (chained, delta-timed; d=64, bf16):
   T=4096 (SD 512px): 1.08 ms vs 2.97 ms einsum (2.7x);
@@ -244,9 +247,12 @@ def flash_attention_mh(q, k, v, scale, interpret=False, block_q=512,
     q, k, v: [B, T, H, d], attention within each (batch, head) pair.
     Forward never touches HBM beyond the inputs/outputs themselves (the
     [B,T,H,d]->[B,T,H*d] view is a free reshape of contiguous memory; no
-    head flattening, no lane padding); the backward flattens to the
-    [B*H, T, d] kernels (training-path perf unchanged -- those transposes
-    existed in `sdpa` before this kernel did)."""
+    head flattening, no lane padding).  Backward dispatch (_mh_bwd):
+    native k-major mh kernels on the packed layout when _mh_bwd_plan fits
+    (no HBM transposes in training either), else flatten to the [B*H, T, d]
+    kernels (4 transpose passes -- e.g. SD's T=4096 levels, where the
+    full-length q/do residency at width H*d exceeds VMEM), else the einsum
+    VJP below the logits-bytes crossover."""
     b, t, h, d = q.shape
     out, _ = _flash_fwd_mh_res(q.reshape(b, t, h * d), k.reshape(b, t, h * d),
                                v.reshape(b, t, h * d), h, scale,
@@ -267,8 +273,23 @@ def _mh_fwd(q, k, v, scale, interpret, block_q, block_k):
 
 
 def _mh_bwd(scale, interpret, block_q, block_k, res, g):
+    """mh backward dispatch: native k-major mh kernels when their VMEM plan
+    fits (no [B,T,H,d]<->[B*H,T,d] HBM transpose passes -- 4 per backward
+    otherwise), then the flat flash kernels via transposes, then the einsum
+    VJP recompute below the logits-bytes crossover."""
     q, k, v, out, lse = res
     b, t, h, d = q.shape
+
+    if _use_flash_bwd(b * h, t):
+        plan = _mh_bwd_plan(t, h * d, h, jnp.dtype(q.dtype).itemsize)
+        if plan is not None:
+            return _flash_bwd_mh(q.reshape(b, t, h * d),
+                                 k.reshape(b, t, h * d),
+                                 v.reshape(b, t, h * d),
+                                 out.reshape(b, t, h * d), lse,
+                                 g.reshape(b, t, h * d), h, scale,
+                                 block_q=plan[0], block_k=plan[1],
+                                 interpret=interpret, out_shape=(b, t, h, d))
 
     def flat(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
@@ -289,6 +310,187 @@ def _mh_bwd(scale, interpret, block_q, block_k, res, g):
 
 
 flash_attention_mh.defvjp(_mh_fwd, _mh_bwd)
+
+
+def _bwd_dq_kernel_mh(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref,
+                      *, scale, num_heads, block_k, kv_len):
+    """dQ for one (b, q_tile) over channel-packed [B, T, H*d] inputs.
+
+    Per head: loop k tiles, recompute P from the forward's lse, accumulate
+    dQ.  stats rows: [0, H) = lse per head, [H, 2H) = delta per head.
+    Zero-padded keys have zero k/v rows, so dP and dS @ k vanish there."""
+    d = q_ref.shape[2] // num_heads
+    num_k = kv_len // block_k
+
+    for h in range(num_heads):
+        q = q_ref[0, :, h * d:(h + 1) * d]
+        do = do_ref[0, :, h * d:(h + 1) * d]
+        lse = stats_ref[0, h].reshape(-1, 1)
+        delta = stats_ref[0, num_heads + h].reshape(-1, 1)
+
+        def body(i, dq_acc, q=q, do=do, lse=lse, delta=delta, h=h):
+            k = k_ref[0, pl.ds(i * block_k, block_k), h * d:(h + 1) * d]
+            v = v_ref[0, pl.ds(i * block_k, block_k), h * d:(h + 1) * d]
+            logits = scale * jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = jnp.exp(logits - lse)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)
+            return dq_acc + scale * jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        dq = jax.lax.fori_loop(
+            0, num_k, body, jnp.zeros((q.shape[0], d), jnp.float32))
+        dq_ref[0, :, h * d:(h + 1) * d] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_mh(q_ref, k_ref, v_ref, do_ref, stats_ref,
+                       dk_ref, dv_ref, *, scale, num_heads, block_q, q_len):
+    """dK/dV for one (b, k_tile), k-major per head (the transposed
+    formulation that keeps every matmul a lane-dim contraction or a
+    row-major product -- the same trick as the flat _bwd_dkv_kernel).
+    Zero-padded q rows have do == 0 and delta == 0, so they contribute
+    nothing; padded key rows are sliced off outside."""
+    d = q_ref.shape[2] // num_heads
+    num_q = q_len // block_q
+
+    for h in range(num_heads):
+        k = k_ref[0, :, h * d:(h + 1) * d]
+        v = v_ref[0, :, h * d:(h + 1) * d]
+
+        def body(i, carry, k=k, v=v, h=h):
+            dk_acc, dv_acc = carry
+            q = q_ref[0, pl.ds(i * block_q, block_q), h * d:(h + 1) * d]
+            do = do_ref[0, pl.ds(i * block_q, block_q), h * d:(h + 1) * d]
+            lse = stats_ref[0, h, pl.ds(i * block_q, block_q)].reshape(1, -1)
+            delta = stats_ref[0, num_heads + h,
+                              pl.ds(i * block_q, block_q)].reshape(1, -1)
+            logits_t = scale * jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [bk, bq]
+            p_t = jnp.exp(logits_t - lse)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            ds_t = p_t * (dp_t - delta)
+            dk_acc = dk_acc + scale * jax.lax.dot_general(
+                ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return dk_acc, dv_acc
+
+        zero = jnp.zeros((k.shape[0], d), jnp.float32)
+        dk, dv = jax.lax.fori_loop(0, num_q, body, (zero, zero))
+        dk_ref[0, :, h * d:(h + 1) * d] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, h * d:(h + 1) * d] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "block_q",
+                                             "block_k", "interpret",
+                                             "out_shape"))
+def _flash_bwd_mh(q, k, v, out, lse, g, num_heads, scale, block_q=256,
+                  block_k=256, interpret=False, out_shape=None):
+    """Native mh flash backward over [B, T, H*d]: (dq, dk, dv) as
+    [B, T, H, d] without any HBM transpose pass.
+
+    lse: [B, H, Tq] from the mh forward; delta is computed per head with a
+    segment-reshape einsum (one fused pass over g*out)."""
+    b, t, c = q.shape
+    d = c // num_heads
+    delta = jnp.einsum(
+        "bthd,bthd->bht",
+        g.reshape(b, t, num_heads, d).astype(jnp.float32),
+        out.reshape(b, t, num_heads, d).astype(jnp.float32))  # [B, H, T]
+    g = g.astype(q.dtype)
+    block_q = min(block_q, ((t + 127) // 128) * 128)
+    block_k = min(block_k, ((t + 127) // 128) * 128)
+    q, _ = _pad_to(q, 1, block_q)
+    g, _ = _pad_to(g, 1, block_q)
+    delta, _ = _pad_to(delta, 2, block_q)
+    k, _ = _pad_to(k, 1, block_k)
+    v, _ = _pad_to(v, 1, block_k)
+    tq, tk = q.shape[1], k.shape[1]
+    if lse.shape[2] != tq:  # fwd block_q may differ from bwd block_q
+        lse = _pad_to(lse, 2, block_q)[0][:, :, :tq]
+    # stats: [B, 2H, TQ] -- lse rows then delta rows (the middle dim is FULL
+    # in every BlockSpec, satisfying the TPU block rule)
+    stats = jnp.concatenate([lse, delta], axis=1)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_mh, scale=scale,
+                          num_heads=num_heads, block_k=block_k, kv_len=tk),
+        grid=(b, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, tk, c), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, tk, c), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, 2 * num_heads, block_q),
+                         lambda bi, qi: (bi, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, tq, c), q.dtype),
+        interpret=interpret,
+    )(q, k, v, g, stats)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_mh, scale=scale,
+                          num_heads=num_heads, block_q=block_q, q_len=tq),
+        grid=(b, tk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, tq, c), lambda bi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, block_k, c), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, c), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, tq, c), lambda bi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, 2 * num_heads, tq), lambda bi, ki: (bi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, c), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, c), lambda bi, ki: (bi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tk, c), q.dtype),
+            jax.ShapeDtypeStruct((b, tk, c), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, g, stats)
+    bs, ts, hs, ds = out_shape
+    return (dq[:, :t].reshape(bs, ts, hs, ds),
+            dk[:, :t].reshape(bs, ts, hs, ds),
+            dv[:, :t].reshape(bs, ts, hs, ds))
+
+
+def _mh_bwd_plan(t, width, num_heads, itemsize, block_q=256, block_k=256):
+    """(block_q, block_k) for the native mh backward, or None -> flat path.
+
+    The dkv program holds full-length q AND do ([tq, width] each) plus the
+    k/v/dk/dv blocks and the 2H stats rows; the unrolled head loop adds the
+    same ~0.75 f32 [bq, bk] stack temporaries per head as the forward
+    (shared model until separate anchors exist).  Default blocks start at
+    (256, 256): the backward keeps ~2x the forward's IO resident, so the
+    forward's (512, 1024) start would rarely fit anyway."""
+    tpad = ((t + 127) // 128) * 128
+    bq, bk = _snap128(min(block_q, tpad)), _snap128(min(block_k, tpad))
+    while True:
+        tq = ((t + bq - 1) // bq) * bq
+        tk = ((t + bk - 1) // bk) * bk
+        io = 2 * itemsize * (
+            (2 * tq + 2 * tk) * width        # dkv: full q, do + k, v blocks
+            + (2 * bk) * width               # dkv: dk, dv out blocks
+            + 2 * num_heads * max(tq, bk))   # stats
+        stack = int(0.75 * num_heads * bq * bk * 4)
+        if io + stack <= _MH_VMEM_BUDGET_BYTES:
+            return bq, bk
+        if bk > 128:
+            bk = _snap128(bk // 2)
+        elif bq > 128:
+            bq = _snap128(bq // 2)
+        else:
+            return None
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref,

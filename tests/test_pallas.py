@@ -330,3 +330,87 @@ def test_mh_plan_verified_all_probes_fail(monkeypatch):
     monkeypatch.setattr(PA, "_probe_enabled", lambda: True)
     monkeypatch.setattr(PA, "_mh_probe_compiles", lambda *a: False)
     assert PA._mh_plan_verified(1024, 384, 6, 2) is None
+
+
+@pytest.mark.parametrize("b,t,h,d", [(2, 256, 3, 32), (1, 320, 14, 32),
+                                     (2, 200, 2, 64)])
+def test_mh_native_backward_matches_reference(b, t, h, d, monkeypatch):
+    """The native k-major mh backward (no HBM transpose passes) matches the
+    reference grads on LDM-like d=32 multi-head and ragged-T shapes."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    monkeypatch.setattr(PA, "_FLASH_BWD_MIN_LOGITS_BYTES", 0)
+    used = {}
+    real = PA._flash_bwd_mh
+
+    def spy(*a, **kw):
+        used["native"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(PA, "_flash_bwd_mh", spy)
+    rng = np.random.RandomState(21)
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32) * 0.3)
+               for _ in range(3))
+    s = float(1 / np.sqrt(d))
+
+    def ref(q_, k_, v_):
+        f = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+        out = PA._reference_sdpa(f(q_), f(k_), f(v_), s)
+        return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+    cot = jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+    loss_mh = lambda *a: (PA.flash_attention_mh(*a, s, True) * cot).sum()
+    loss_ref = lambda *a: (ref(*a) * cot).sum()
+    g1 = jax.grad(loss_mh, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    assert used.get("native"), "native mh backward was not dispatched"
+    for name, a, b_ in zip("qkv", g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3,
+                                   atol=1e-4, err_msg=f"d{name}")
+
+
+def test_mh_backward_flat_fallback_when_plan_none(monkeypatch):
+    """With no viable mh backward plan the flat transpose path still runs
+    and matches."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    monkeypatch.setattr(PA, "_FLASH_BWD_MIN_LOGITS_BYTES", 0)
+    monkeypatch.setattr(PA, "_mh_bwd_plan", lambda *a, **k: None)
+    monkeypatch.setattr(
+        PA, "_flash_bwd_mh",
+        lambda *a, **k: pytest.fail("native path dispatched despite None plan"))
+    b, t, h, d = 2, 256, 2, 32
+    rng = np.random.RandomState(5)
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32) * 0.3)
+               for _ in range(3))
+    s = float(1 / np.sqrt(d))
+
+    def ref(q_, k_, v_):
+        f = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+        out = PA._reference_sdpa(f(q_), f(k_), f(v_), s)
+        return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+    g1 = jax.grad(lambda *a: (PA.flash_attention_mh(*a, s, True) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: (ref(*a) ** 2).sum(), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3,
+                                   atol=1e-4, err_msg=f"d{name}")
+
+
+def test_mh_bwd_plan_shapes():
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    # LDM 32x32 level: T=1024, width=448, H=14 -- must produce SOME plan
+    plan = PA._mh_bwd_plan(1024, 448, 14, 2)
+    assert plan is not None
+    assert plan[0] % 128 == 0 and plan[1] % 128 == 0
+    # T=2048 at SD width (320, H=5): still fits
+    plan = PA._mh_bwd_plan(2048, 320, 5, 2)
+    assert plan is not None
+    # SD 64x64 self-attention (T=4096, width=320): full-length q/do
+    # residency alone is ~21 MB -> flat-path fallback by design (the flat
+    # kernels' per-program width is the padded d=128, 2.5x smaller)
+    assert PA._mh_bwd_plan(4096, 320, 5, 2) is None
+    # hopeless: full-length q/do residency alone blows the budget
+    assert PA._mh_bwd_plan(8192, 1024, 16, 4) is None
