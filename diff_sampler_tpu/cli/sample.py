@@ -186,18 +186,31 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
 
     tp_mesh = None
     if tp > 1:
-        if model_source not in ("ldm", "sd"):
-            raise click.ClickException(
-                "--tp currently shards the latent (LDM/SD) tiers only")
-        from ..models.factory import shard_ldm_tensor_parallel
+        from ..ops.pallas_attention import set_tp_context
         from ..parallel import tp as tpmod
 
         tp_mesh = tpmod.get_mesh_2d(tp)
-        shard_ldm_tensor_parallel(module, tp_mesh)
-        # rebind so the unsharded tree is released, not kept alive by this
-        # frame for the whole sampling run (bind() ignores params for
-        # dataclass preconds; the model reads ld.unet_params late-bound)
-        params = module.latent_diffusion.unet_params
+        if model_source in ("ldm", "sd"):
+            from ..models.factory import shard_ldm_tensor_parallel
+
+            shard_ldm_tensor_parallel(module, tp_mesh)
+            # rebind so the unsharded tree is released, not kept alive by
+            # this frame for the whole sampling run (bind() ignores params
+            # for dataclass preconds; the model reads ld.unet_params
+            # late-bound)
+            params = module.latent_diffusion.unet_params
+        else:
+            # pixel tiers (edm/cm/adm): the 550M imagenet256 ADM is the
+            # motivating case -- one 16 GB chip holds it, a TP mesh spreads
+            # both weights and attention
+            from ..models.factory import shard_pixel_tensor_parallel
+
+            params = shard_pixel_tensor_parallel(module, params, tp_mesh,
+                                                 model_source)
+        # route flash attention through shard_map over the model axis so
+        # TP attention keeps O(T d) memory instead of GSPMD gathering the
+        # opaque Pallas call or falling back to einsum [T,T] logits
+        set_tp_context(tp_mesh)
         print0(f"Tensor parallel: U-Net weights sharded over "
                f"mesh {dict(tp_mesh.shape)}")
 

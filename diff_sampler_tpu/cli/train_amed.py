@@ -122,15 +122,20 @@ def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
     tp_mesh = None
     if tp > 1:
         # must happen BEFORE the denoise closures below bind the bottleneck
-        if src not in ("ldm", "sd"):
-            raise click.ClickException(
-                "--tp currently shards the latent (LDM/SD) tiers only")
-        from ..models.factory import shard_ldm_tensor_parallel
+        from ..ops.pallas_attention import set_tp_context
         from ..parallel import tp as tpmod
 
         tp_mesh = tpmod.get_mesh_2d(tp)
-        shard_ldm_tensor_parallel(module, tp_mesh)
-        params = module.latent_diffusion.unet_params  # drop unsharded tree
+        if src in ("ldm", "sd"):
+            from ..models.factory import shard_ldm_tensor_parallel
+
+            shard_ldm_tensor_parallel(module, tp_mesh)
+            params = module.latent_diffusion.unet_params  # drop unsharded
+        else:
+            from ..models.factory import shard_pixel_tensor_parallel
+
+            params = shard_pixel_tensor_parallel(module, params, tp_mesh, src)
+        set_tp_context(tp_mesh)  # flash attention via shard_map over 'model'
         print0(f"Tensor parallel: frozen net sharded over "
                f"mesh {dict(tp_mesh.shape)}")
 

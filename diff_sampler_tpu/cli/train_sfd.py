@@ -177,17 +177,19 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
     mesh = get_mesh()
     tp_sh = None
     if tp > 1:
-        if not latent:
-            raise click.ClickException(
-                "--tp currently shards the latent (LDM/SD) tiers only")
+        # works for the latent tiers AND pixel EDM students: tp_param_specs
+        # understands both the LDM flat naming and SongUNet/DhariwalUNet's
+        # nested blocks (parallel/tp.py)
         from jax.sharding import NamedSharding, PartitionSpec
 
+        from ..ops.pallas_attention import set_tp_context
         from ..parallel import tp as tpmod
 
         mesh = tpmod.get_mesh_2d(tp)
         specs = tpmod.tp_param_specs(params, tp)
         tp_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                              is_leaf=lambda x: isinstance(x, PartitionSpec))
+        set_tp_context(mesh)  # flash attention via shard_map over 'model'
         print0(f"Tensor parallel: {tpmod.count_sharded(specs)} weights "
                f"sharded over mesh {dict(mesh.shape)}")
     rep = replicated(mesh)

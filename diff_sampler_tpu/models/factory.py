@@ -190,6 +190,41 @@ def shard_ldm_tensor_parallel(precond, mesh):
     return precond
 
 
+def shard_pixel_tensor_parallel(precond, params, mesh, model_source):
+    """Tensor-parallel sharding for the PIXEL tiers (edm/cm/adm), mirroring
+    shard_ldm_tensor_parallel: shard the U-Net weight tree Megatron-style
+    over the mesh's 'model' axis and rebuild any closures so they see the
+    committed arrays.
+
+    Returns the sharded params (tree for 'edm'; for 'cm'/'adm' the precond's
+    model_fn/classifier_fn/bottleneck closures are rebuilt in place and the
+    sharded tree(s) are returned in the same structure create_model used).
+    tp_param_specs already understands SongUNet (conv0/conv1/qkv/proj) and
+    ADM (in_layers_2/out_layers_3/qkv/proj_out) module naming."""
+    from ..parallel import tp
+
+    if model_source == "edm":
+        return tp.shard_params_tp(params, mesh)
+    if model_source == "cm":
+        net = precond.net
+        sharded = tp.shard_params_tp(params, mesh)
+        precond.model_fn = lambda x, t, y: net.apply(
+            {"params": sharded}, x, t, None)
+        precond.model_fn_bottleneck = _capture_middle(net, sharded)
+        return sharded
+    if model_source == "adm":
+        net, cls = precond.net, precond.classifier
+        sharded = tp.shard_params_tp(params["model"], mesh)
+        cls_sharded = tp.shard_params_tp(params["classifier"], mesh)
+        precond.model_fn = lambda x, t, y: net.apply(
+            {"params": sharded}, x, t, y)
+        precond.classifier_fn = lambda x, t: cls.apply(
+            {"params": cls_sharded}, x, t)
+        precond.model_fn_bottleneck = _capture_middle(net, sharded)
+        return {"model": sharded, "classifier": cls_sharded}
+    raise ValueError(f"unknown pixel model_source {model_source!r}")
+
+
 def _adm_params(module, model_path, seed):
     if model_path == "random":
         res, ch = module.image_size, module.in_channels
@@ -221,6 +256,7 @@ def build_cm_model(model_path=None, dtype=jnp.float32):
     precond = CMPrecond(model_fn=model_fn, img_resolution=256, img_channels=3,
                         label_dim=0,
                         model_fn_bottleneck=_capture_middle(net, params))
+    precond.net = net  # for shard_pixel_tensor_parallel closure rebuilds
     return precond, params
 
 
@@ -272,4 +308,5 @@ def build_cg_model(model_path=None, guidance_rate=1.0, classifier_path=None,
         img_resolution=256, img_channels=3, label_dim=1000,
         guidance_rate=guidance_rate,
         model_fn_bottleneck=_capture_middle(net, params))
+    precond.net, precond.classifier = net, cls  # for TP closure rebuilds
     return precond, {"model": params, "classifier": cls_params}

@@ -816,8 +816,50 @@ def _mh_plan_verified(t, width, num_heads, itemsize):
     return plan
 
 
+# Tensor-parallel context: set by the CLIs/tests when a (data, model) mesh
+# is active.  A Pallas call is an opaque custom call to GSPMD -- without
+# this, TP attention either replicates (gathers the head-sharded q/k/v) or
+# falls back to einsum with materialized [T,T] logits.  With it, sdpa wraps
+# the kernel in shard_map over the mesh: attention is embarrassingly
+# parallel over heads, so the body runs the SAME kernels on the local
+# [B/dp, T, H/tp, d] block with zero collectives.
+_TP_CTX = None
+
+
+def set_tp_context(mesh, data_axis: str = "data", model_axis: str = "model"):
+    """Install (or clear, mesh=None) the tensor-parallel mesh used by sdpa
+    to shard_map the flash kernels over the model axis."""
+    global _TP_CTX
+    _TP_CTX = None if mesh is None else (mesh, data_axis, model_axis)
+
+
+def _sdpa_tp_shard_map(q, k, v, scale, min_flash_tokens):
+    """shard_map(sdpa) over the TP mesh, or None if shapes don't divide."""
+    from jax.sharding import PartitionSpec as P
+    shard_map = jax.shard_map
+
+    mesh, da, ma = _TP_CTX
+    b, t, h, d = q.shape
+    tp = mesh.shape[ma]
+    dp = mesh.shape[da]
+    if tp <= 1 or h % tp or b % dp:
+        return None
+    spec = P(da, None, ma, None)
+
+    def body(ql, kl, vl):
+        return sdpa(ql, kl, vl, scale, min_flash_tokens=min_flash_tokens,
+                    force_flash=True, _local=True)
+
+    # check_vma off: the body is a pallas_call whose ShapeDtypeStructs carry
+    # no varying-mesh-axes annotation (and the body needs none -- attention
+    # is head-parallel, zero collectives)
+    fn = shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                   out_specs=spec, check_vma=False)
+    return fn(q, k, v)
+
+
 def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
-         force_flash: bool = False):
+         force_flash: bool = False, _local: bool = False):
     """Scaled-dot-product attention dispatcher.
 
     q, k, v: [B, T, H, d] (multi-head, NHWC-style token layout).
@@ -836,6 +878,10 @@ def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
         scale = 1.0 / math.sqrt(d)
     on_tpu = jax.default_backend() == "tpu"
     use_flash = force_flash or (on_tpu and t >= min_flash_tokens)
+    if use_flash and _TP_CTX is not None and not _local:
+        out = _sdpa_tp_shard_map(q, k, v, float(scale), min_flash_tokens)
+        if out is not None:
+            return out
     itemsize = jnp.dtype(q.dtype).itemsize
     plan = _mh_plan_verified(t, h * d, h, itemsize) \
         if (use_flash and d % 8 == 0) else None

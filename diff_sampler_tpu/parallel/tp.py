@@ -38,10 +38,14 @@ Caveats, stated rather than hidden:
     leaning on it at scale.
   * tp should divide the head count (and 32, the GroupNorm group count)
     or GSPMD resolves the mismatch with gathers.
-  * The Pallas flash-attention kernel is an opaque call to GSPMD; under
-    tensor parallelism the attention inner loop should ride the einsum
-    path (it does automatically below the flash token threshold) or be
-    wrapped in shard_map (future work).
+  * The Pallas flash-attention kernel is an opaque call to GSPMD.  When
+    `pallas_attention.set_tp_context(mesh)` is installed (the TP CLIs do),
+    sdpa wraps the kernel in shard_map over the (data, model) mesh --
+    attention is embarrassingly parallel over heads, so each device runs
+    the same kernel on its local [B/dp, T, H/tp, d] block with zero
+    collectives and O(T d) memory.  Without the context (or when heads
+    don't divide tp), GSPMD handles the einsum path natively and the
+    flash path degrades to a gather -- correct, but measure it.
 
 Weights whose sharded dimension is not divisible by the 'model' axis
 size fall back to replicated, so any net can be passed through

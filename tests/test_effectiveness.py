@@ -55,22 +55,32 @@ def point_cloud():
     return den, eval_lat, gt
 
 
-def test_gits_schedule_beats_uniform_at_equal_nfe(point_cloud):
+@pytest.mark.parametrize("ns,warm0,eval0", [(5, 0, 1000), (6, 7000, 3000)])
+def test_gits_schedule_beats_uniform_at_equal_nfe(point_cloud, ns, warm0,
+                                                  eval0):
+    """Two independent (num_steps, warmup-seed, eval-seed) configs: a lucky
+    single draw can't pass (VERDICT round-3 weak #6)."""
     from diff_sampler_tpu.gits.search import GITSConfig, gits_schedule
 
     den, eval_lat, gt = point_cloud
-    ns = 5
+    if eval0 != 1000:  # second config: fresh eval latents + converged gt
+        eval_lat = stacked_randn(np.arange(eval0, eval0 + 64), SHAPE)
+        fine_t = get_schedule(129, den.sigma_min, den.sigma_max,
+                              "polynomial", 7.0)
+        gt = get_sampler("euler")(den, eval_lat, fine_t).x
     cfg = GITSConfig(num_steps=ns, num_steps_tea=21, num_warmup=64,
                      solver_tea="ipndm", solver="euler", metric="dev",
                      coeff=1.15, batch_size=64)
-    dp_list, t_dp = gits_schedule(den, SHAPE, cfg, seeds=range(64))
+    dp_list, t_dp = gits_schedule(den, SHAPE, cfg,
+                                  seeds=range(warm0, warm0 + 64))
     assert dp_list[0] == 0 and dp_list[-1] == 20 and len(dp_list) == ns
 
     euler = get_sampler("euler")
     t_base = get_schedule(ns, den.sigma_min, den.sigma_max, "polynomial", 7.0)
     err_dp = _term_err(euler(den, eval_lat, jnp.asarray(t_dp)).x, gt)
     err_uniform = _term_err(euler(den, eval_lat, t_base).x, gt)
-    # measured 1.020 vs 1.070 (~5% better); assert a real margin
+    # measured (ns=5): 1.020 vs 1.070 (~5%); (ns=6): see CI -- assert a
+    # real margin on both
     assert err_dp < 0.99 * err_uniform, (err_dp, err_uniform)
 
 
@@ -117,6 +127,22 @@ def test_trained_amed_beats_untrained_and_matches_dpm(point_cloud):
     # measured: 0.97 trained / 1.26 untrained / 0.98 dpm
     assert err_trained < 0.9 * err_untrained, (err_trained, err_untrained)
     assert err_trained < 1.05 * err_dpm, (err_trained, err_dpm)
+
+    # second, INDEPENDENT eval latent set against its own converged ground
+    # truth: the trained predictor's win must not hinge on one lucky draw
+    # (VERDICT round-3 weak #6)
+    eval2 = stacked_randn(np.arange(9000, 9064), SHAPE)
+    fine_t = get_schedule(129, den.sigma_min, den.sigma_max, "polynomial", 7.0)
+    gt2 = get_sampler("euler")(den, eval2, fine_t).x
+    pa = lambda b, tc, tn: pred.apply({"params": pp}, b, tc, tn)  # noqa: E731
+    pa0 = lambda b, tc, tn: pred.apply({"params": pp0}, b, tc, tn)  # noqa: E731
+    err2_tr = _term_err(A.AMED_SOLVER_REGISTRY["amed"](den_b, pa, eval2, t5).x,
+                        gt2)
+    err2_un = _term_err(A.AMED_SOLVER_REGISTRY["amed"](den_b, pa0, eval2,
+                                                       t5).x, gt2)
+    err2_dpm = _term_err(get_sampler("dpm")(den, eval2, t5).x, gt2)
+    assert err2_tr < 0.9 * err2_un, (err2_tr, err2_un)
+    assert err2_tr < 1.05 * err2_dpm, (err2_tr, err2_dpm)
 
 
 def test_sfd_student_beats_euler_at_equal_nfe():

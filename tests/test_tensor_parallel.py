@@ -342,3 +342,152 @@ def test_train_amed_cli_tp(tmp_path, monkeypatch):
         "--schedule_rho=1", "--afs=False"], catch_exceptions=False)
     assert res.exit_code == 0, res.output
     assert "Tensor parallel" in res.output
+
+
+def _tiny_adm(heads=2):
+    from diff_sampler_tpu.models.adm import ADMUNet
+
+    return ADMUNet(image_size=16, in_channels=3, out_channels=3,
+                   model_channels=32, num_res_blocks=1,
+                   attention_resolutions=(2,), channel_mult=(1, 2),
+                   num_heads=heads, num_head_channels=-1,
+                   use_scale_shift_norm=True, resblock_updown=True)
+
+
+def test_adm_tp_specs_and_forward_parity():
+    """tp_param_specs understands the guided-diffusion module naming
+    (in_layers_2 / out_layers_3 / qkv / proj_out) and the sharded ADM
+    forward matches the replicated one -- the round-3 hard error on
+    pixel-tier --tp is lifted."""
+    net = _tiny_adm()
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 16, 16, 3), jnp.float32)
+    t = jnp.ones((4,))
+    params = jax.jit(net.init)(jax.random.key(0), x[:1], t[:1])["params"]
+
+    specs = tpmod.tp_param_specs(params, tp_size=2)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    by_name = {".".join(str(getattr(p, "key", p)) for p in path): s
+               for path, s in flat}
+    assert any("in_layers_2" in k and tuple(s) != () for k, s in by_name.items())
+    assert any("out_layers_3" in k and tuple(s) != () for k, s in by_name.items())
+    assert any(k.endswith("qkv.kernel") and tuple(s) != ()
+               for k, s in by_name.items())
+    assert any("proj_out" in k and tuple(s) != () for k, s in by_name.items())
+
+    fn = lambda p, x_, t_: net.apply({"params": p}, x_, t_)
+    ref = jax.jit(fn)(params, x, t)
+    mesh = tpmod.get_mesh_2d(2)
+    params_tp = tpmod.shard_params_tp(params, mesh, specs)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+    out = jax.jit(fn, out_shardings=NamedSharding(mesh, P()))(params_tp, xs, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_shard_pixel_tensor_parallel_cm():
+    """The factory's pixel-tier TP helper rebuilds the CM closures over the
+    sharded tree; the bound denoiser still matches the replicated one."""
+    from diff_sampler_tpu.models.precond import CMPrecond, bind
+    from diff_sampler_tpu.models import factory
+
+    net = _tiny_adm()
+    x = jnp.asarray(np.random.RandomState(2).randn(4, 16, 16, 3), jnp.float32)
+    params = jax.jit(net.init)(jax.random.key(0), x[:1], jnp.ones((1,)))["params"]
+    precond = CMPrecond(
+        model_fn=lambda x_, t_, y_: net.apply({"params": params}, x_, t_, None),
+        img_resolution=16, img_channels=3, label_dim=0,
+        model_fn_bottleneck=factory._capture_middle(net, params))
+    precond.net = net
+    den = bind(precond)
+    sigma = jnp.full((4,), 2.5)
+    ref = jax.jit(lambda x_, s_: den(x_, s_))(x, sigma)
+
+    mesh = tpmod.get_mesh_2d(2)
+    sharded = factory.shard_pixel_tensor_parallel(precond, params, mesh, "cm")
+    assert tpmod.count_sharded(tpmod.tp_param_specs(sharded, 2)) >= 4
+    den_tp = bind(precond)
+    out = jax.jit(lambda x_, s_: den_tp(x_, s_),
+                  out_shardings=NamedSharding(mesh, P()))(
+        jax.device_put(x, NamedSharding(mesh, P("data", None, None, None))),
+        sigma)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_sdpa_shard_map_under_tp_context():
+    """With set_tp_context installed, sdpa routes flash attention through
+    shard_map over the (data, model) mesh: the kernels see the LOCAL
+    [B/dp, T, H/tp, d] block (no GSPMD gather of the opaque Pallas call)
+    and the result matches the un-sharded dispatch."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    b, t, h, d = 4, 256, 4, 32
+    rng = np.random.RandomState(7)
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32) * 0.3)
+               for _ in range(3))
+    ref = PA.sdpa(q, k, v, force_flash=True)
+
+    mesh = tpmod.get_mesh_2d(2)
+    local_shapes = []
+    orig = PA.flash_attention_mh
+
+    def spy(q_, k_, v_, *a, **kw):
+        local_shapes.append(q_.shape)
+        return orig(q_, k_, v_, *a, **kw)
+
+    PA.flash_attention_mh = spy
+    PA.set_tp_context(mesh)
+    try:
+        qs = jax.device_put(q, NamedSharding(mesh, P("data", None, "model", None)))
+        ks = jax.device_put(k, NamedSharding(mesh, P("data", None, "model", None)))
+        vs = jax.device_put(v, NamedSharding(mesh, P("data", None, "model", None)))
+        out = jax.jit(
+            lambda a_, b_, c_: PA.sdpa(a_, b_, c_, force_flash=True),
+            out_shardings=NamedSharding(mesh, P()))(qs, ks, vs)
+    finally:
+        PA.set_tp_context(None)
+        PA.flash_attention_mh = orig
+    assert local_shapes and local_shapes[0] == (1, t, 2, d), local_shapes
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_sdpa_tp_context_indivisible_heads_falls_through():
+    """Heads not divisible by tp -> the shard_map branch declines and the
+    plain dispatch still runs."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    b, t, h, d = 4, 256, 3, 32  # 3 heads, tp=2
+    rng = np.random.RandomState(9)
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32) * 0.3)
+               for _ in range(3))
+    ref = PA.sdpa(q, k, v, force_flash=True)
+    PA.set_tp_context(tpmod.get_mesh_2d(2))
+    try:
+        out = PA.sdpa(q, k, v, force_flash=True)
+    finally:
+        PA.set_tp_context(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_sdpa_shard_map_gradients_match():
+    """Training under TP: grads through the shard_map-wrapped flash kernels
+    match the un-sharded dispatch (custom_vjp runs per shard)."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    b, t, h, d = 4, 256, 4, 32
+    rng = np.random.RandomState(13)
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32) * 0.3)
+               for _ in range(3))
+    loss = lambda a_, b_, c_: (PA.sdpa(a_, b_, c_, force_flash=True) ** 2).sum()
+    ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    mesh = tpmod.get_mesh_2d(2)
+    PA.set_tp_context(mesh)
+    try:
+        got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    finally:
+        PA.set_tp_context(None)
+    for name, a, b_ in zip("qkv", got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4,
+                                   atol=1e-5, err_msg=f"d{name}")
