@@ -152,6 +152,9 @@ def main():
                 # min_flash_tokens is keyword-only: flip its default so every
                 # in-model call site takes the einsum path.
                 pallas_attention.sdpa.__kwdefaults__["min_flash_tokens"] = 1 << 30
+            if variant == "attn512":
+                # einsum below T=512 (the 16x16 level), flash at T=1024
+                pallas_attention.sdpa.__kwdefaults__["min_flash_tokens"] = 512
 
             fn, params, x, sigma = build(args.batch, attn=(variant != "no_attn"))
             ms = chained_ms(fn, x, sigma, params=params)

@@ -110,6 +110,15 @@ def main():
                 fn = lambda q, k, v: flash_attention_mh(q, k, v, float(scale))
                 a = nhwc
                 fl = flops
+            elif variant.startswith("mh_"):
+                # explicit (bq, bk) plan, e.g. mh_1024x256 -- sweeps the
+                # planner's block space (the compile-probe planner makes
+                # trying big plans safe: a bad one fails at compile, here)
+                bq, bk = (int(s) for s in variant[3:].split("x"))
+                fn = lambda q, k, v: flash_attention_mh(
+                    q, k, v, float(scale), False, bq, bk)
+                a = nhwc
+                fl = flops
             elif variant == "native_einsum":
                 # small-T sdpa fallback: batched einsum on the native layout
                 def fn(q, k, v):
