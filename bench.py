@@ -98,7 +98,9 @@ def main():
         lat = jax.device_put(
             jax.random.normal(jax.random.key(1), (batch, 32, 32, 3)), dev)
         lat = fn(lat)
-        lat.block_until_ready()  # compile + warm
+        float(jnp.mean(lat))  # compile + warm; scalar fetch as fence --
+        # block_until_ready alone under-reports over the axon tunnel
+        # (BENCH_NOTES "Timing-harness fence fix")
         # keep every measurement window >= ~3 s: short-NFE calls need more
         # reps or host scheduling noise dominates (745 vs 580 img/s observed
         # at NFE5 with reps=3)
@@ -106,7 +108,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(reps):
             lat = fn(lat)
-        lat.block_until_ready()
+        float(jnp.mean(lat))  # data-dependent scalar fence
         dt = (time.perf_counter() - t0) / reps
         results[label] = batch / dt
 

@@ -70,21 +70,32 @@ def bench_model(name, dataset_name, batch):
         lat = jax.device_put(
             jax.random.normal(jax.random.key(1), (batch, res, res, chn)), dev)
         lat = fn(params, lat)
-        lat.block_until_ready()
+        float(jnp.mean(lat))  # warmup + fence (see run())
 
         # delta-rep timing (BENCH_NOTES methodology): (t(hi)-t(lo))/(hi-lo)
         # cancels the axon tunnel's per-dispatch overhead and any residual
         # warmup -- a naive 3-rep loop once reported 72k img/s for this model
         def run(reps):
+            # fence by fetching a scalar data-dependent on the whole chain:
+            # block_until_ready under-reports over the axon tunnel
+            # (BENCH_NOTES "Timing-harness fence fix")
             nonlocal lat
             t0 = time.perf_counter()
             for _ in range(reps):
                 lat = fn(params, lat)
-            lat.block_until_ready()
+            float(jnp.mean(lat))
             return time.perf_counter() - t0
 
+        # median of 3 independent (lo, hi) delta pairs: a single slow low
+        # anchor (tunnel hiccup / stray recompile) once produced a 341k
+        # img/s artifact for this model -- one bad pair can't win a median
         lo_r, hi_r = 1, max(3, round(90 / num_steps))
-        dt = (run(hi_r) - run(lo_r)) / (hi_r - lo_r)
+        deltas = []
+        for _ in range(3):
+            deltas.append((run(hi_r) - run(lo_r)) / (hi_r - lo_r))
+        deltas = [d for d in deltas if d > 0] or deltas
+        deltas.sort()
+        dt = deltas[len(deltas) // 2]
         ips = batch / dt
         nfe = {"nfe5": 5, "nfe10": 10, "nfe35": 35}[label]
         out[f"{label}_imgs_per_sec"] = round(ips, 2)
