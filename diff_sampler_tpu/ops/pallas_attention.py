@@ -203,10 +203,83 @@ def _attn_kernel_mh(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, num_heads,
         lse_ref[0, h, :] = (m + jnp.log(l)).reshape(-1)
 
 
+# Small-d head packing.  At head dim d < 128 every per-head matmul pads its
+# contraction lanes (q@k^T) or output lanes (p@v) to the MXU's 128 anyway,
+# so the per-head loop wastes 128/d of the array by construction (the
+# measured 25% cap at the LDM tier's d=32, BENCH_NOTES).  The packed kernel
+# fuses P = 128//d heads into ONE matmul pair per k-tile: a block-diagonal
+# Q is laid out along the SUBLANE (query) axis ([P*bq, P*d], row block j
+# keeps lanes j*d:(j+1)*d), so q_bd @ k_group^T yields [P*bq, bk] logits
+# whose rows are independent (head, query) pairs -- the row-wise online
+# softmax is unchanged, the zero lanes contribute exact zeros (results
+# identical up to f32 reduction order), and p @ v_group computes all P
+# diagonal blocks in one product.  Total padded MXU MACs are identical to the per-head loop; the
+# win is P-times fewer matmul issues and no per-k-iteration odd-lane-offset
+# slices (block-diagonal build + output extraction amortize once per
+# q-tile).  Toggle for A/B probes; production dispatch uses _pack_factor.
+_PACK_SMALL_D = True
+
+
+def _pack_factor(d):
+    return max(1, 128 // d) if _PACK_SMALL_D else 1
+
+
+def _attn_kernel_mh_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
+                           num_heads, block_k, seq_len, kv_len, pack):
+    """One (b, q_tile) program over channel-packed [B, T, H*d] inputs with
+    `pack` heads fused per matmul (see _PACK_SMALL_D note above)."""
+    bq = q_ref.shape[1]
+    d = q_ref.shape[2] // num_heads
+    num_k = kv_len // block_k
+    masked = kv_len != seq_len
+
+    h0 = 0
+    while h0 < num_heads:
+        p = min(pack, num_heads - h0)
+        w = p * d
+        qg = q_ref[0, :, h0 * d:h0 * d + w]  # [bq, w]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1) // d
+        qbd = jnp.concatenate(
+            [jnp.where(lane == j, qg, 0) for j in range(p)], axis=0)
+
+        def body(i, carry, qbd=qbd, h0=h0, w=w):
+            acc, m_prev, l_prev = carry
+            kg = k_ref[0, pl.ds(i * block_k, block_k), h0 * d:h0 * d + w]
+            vg = v_ref[0, pl.ds(i * block_k, block_k), h0 * d:h0 * d + w]
+            logits = scale * jax.lax.dot_general(
+                qbd, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [p*bq, bk]
+            if masked:
+                col = i * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, logits.shape, 1)
+                logits = jnp.where(col < seq_len, logits, _NEG_INF)
+            m_cur = jnp.max(logits, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            pw = jnp.exp(logits - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + pw.sum(axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                pw.astype(vg.dtype), vg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [p*bq, w]
+            return acc, m_new, l_new
+
+        acc = jnp.zeros((p * bq, w), jnp.float32)
+        m0 = jnp.full((p * bq, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((p * bq, 1), jnp.float32)
+        acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc, m0, l0))
+        out = acc / l  # [p*bq, w]
+        lse = (m + jnp.log(l)).reshape(-1)  # [p*bq]
+        for j in range(p):
+            o_ref[0, :, (h0 + j) * d:(h0 + j + 1) * d] = out[
+                j * bq:(j + 1) * bq, j * d:(j + 1) * d].astype(o_ref.dtype)
+            lse_ref[0, h0 + j, :] = lse[j * bq:(j + 1) * bq]
+        h0 += p
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale", "block_q",
-                                             "block_k", "interpret"))
+                                             "block_k", "interpret", "pack"))
 def _flash_fwd_mh_res(q, k, v, num_heads, scale, block_q=512, block_k=1024,
-                      interpret=False):
+                      interpret=False, pack=1):
     """q, k, v: [B, T, H*d] -> (out [B, T, H*d], lse [B, H, Tq] f32)."""
     b, t, c = q.shape
     block_q = min(block_q, ((t + 127) // 128) * 128)
@@ -216,10 +289,17 @@ def _flash_fwd_mh_res(q, k, v, num_heads, scale, block_q=512, block_k=1024,
     v, _ = _pad_to(v, 1, block_k)
     tq, tk = q.shape[1], k.shape[1]
 
+    if pack > 1:
+        kernel = functools.partial(
+            _attn_kernel_mh_packed, scale=scale, num_heads=num_heads,
+            block_k=block_k, seq_len=t, kv_len=tk, pack=pack)
+    else:
+        kernel = functools.partial(
+            _attn_kernel_mh, scale=scale, num_heads=num_heads,
+            block_k=block_k, seq_len=t, kv_len=tk)
     grid = (b, tq // block_q)
     out, lse = pl.pallas_call(
-        functools.partial(_attn_kernel_mh, scale=scale, num_heads=num_heads,
-                          block_k=block_k, seq_len=t, kv_len=tk),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
@@ -257,7 +337,7 @@ def flash_attention_mh(q, k, v, scale, interpret=False, block_q=512,
     out, _ = _flash_fwd_mh_res(q.reshape(b, t, h * d), k.reshape(b, t, h * d),
                                v.reshape(b, t, h * d), h, scale,
                                block_q=block_q, block_k=block_k,
-                               interpret=interpret)
+                               interpret=interpret, pack=_pack_factor(d))
     return out.reshape(b, t, h, d)
 
 
@@ -267,7 +347,7 @@ def _mh_fwd(q, k, v, scale, interpret, block_q, block_k):
                                  k.reshape(b, t, h * d),
                                  v.reshape(b, t, h * d), h, scale,
                                  block_q=block_q, block_k=block_k,
-                                 interpret=interpret)
+                                 interpret=interpret, pack=_pack_factor(d))
     out = out.reshape(b, t, h, d)
     return out, (q, k, v, out, lse)
 
@@ -347,6 +427,119 @@ def _bwd_dq_kernel_mh(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref,
         dq_ref[0, :, h * d:(h + 1) * d] = dq.astype(dq_ref.dtype)
 
 
+def _bwd_dq_kernel_mh_packed(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref,
+                             *, scale, num_heads, block_k, kv_len, pack):
+    """dQ with `pack` heads fused per matmul (see _PACK_SMALL_D): q and do
+    become block-diagonal along sublanes, stats rows concatenate to
+    [p*bq, 1], and the three matmuls per k-tile run once per GROUP; the
+    off-diagonal lanes of ds @ k are garbage and sliced away at the end."""
+    bq = q_ref.shape[1]
+    d = q_ref.shape[2] // num_heads
+    num_k = kv_len // block_k
+
+    h0 = 0
+    while h0 < num_heads:
+        p = min(pack, num_heads - h0)
+        w = p * d
+        qg = q_ref[0, :, h0 * d:h0 * d + w]
+        dog = do_ref[0, :, h0 * d:h0 * d + w]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1) // d
+        qbd = jnp.concatenate(
+            [jnp.where(lane == j, qg, 0) for j in range(p)], axis=0)
+        dobd = jnp.concatenate(
+            [jnp.where(lane == j, dog, 0) for j in range(p)], axis=0)
+        lse = jnp.concatenate(
+            [stats_ref[0, h0 + j].reshape(-1, 1) for j in range(p)], axis=0)
+        delta = jnp.concatenate(
+            [stats_ref[0, num_heads + h0 + j].reshape(-1, 1)
+             for j in range(p)], axis=0)
+
+        def body(i, dq_acc, qbd=qbd, dobd=dobd, lse=lse, delta=delta,
+                 h0=h0, w=w):
+            kg = k_ref[0, pl.ds(i * block_k, block_k), h0 * d:h0 * d + w]
+            vg = v_ref[0, pl.ds(i * block_k, block_k), h0 * d:h0 * d + w]
+            logits = scale * jax.lax.dot_general(
+                qbd, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [p*bq, bk]
+            pm = jnp.exp(logits - lse)
+            dp = jax.lax.dot_general(dobd, vg, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = pm * (dp - delta)
+            return dq_acc + scale * jax.lax.dot_general(
+                ds.astype(kg.dtype), kg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [p*bq, w]
+
+        dq = jax.lax.fori_loop(
+            0, num_k, body, jnp.zeros((p * bq, w), jnp.float32))
+        for j in range(p):
+            dq_ref[0, :, (h0 + j) * d:(h0 + j + 1) * d] = dq[
+                j * bq:(j + 1) * bq, j * d:(j + 1) * d].astype(dq_ref.dtype)
+        h0 += p
+
+
+def _bwd_dkv_kernel_mh_packed(q_ref, k_ref, v_ref, do_ref, stats_ref,
+                              dk_ref, dv_ref, *, scale, num_heads, block_q,
+                              q_len, pack):
+    """dK/dV (k-major) with `pack` heads fused per matmul: k and v become
+    block-diagonal along sublanes (amortized once per k-tile), the per-head
+    lse/delta row vectors broadcast-concatenate to [p*bk, bq] per q-tile,
+    and the diagonal blocks of the [p*bk, w] accumulators are extracted at
+    the end."""
+    bk = k_ref.shape[1]
+    d = q_ref.shape[2] // num_heads
+    num_q = q_len // block_q
+
+    h0 = 0
+    while h0 < num_heads:
+        p = min(pack, num_heads - h0)
+        w = p * d
+        kg = k_ref[0, :, h0 * d:h0 * d + w]
+        vg = v_ref[0, :, h0 * d:h0 * d + w]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bk, w), 1) // d
+        kbd = jnp.concatenate(
+            [jnp.where(lane == j, kg, 0) for j in range(p)], axis=0)
+        vbd = jnp.concatenate(
+            [jnp.where(lane == j, vg, 0) for j in range(p)], axis=0)
+
+        def body(i, carry, kbd=kbd, vbd=vbd, h0=h0, w=w, p=p):
+            dk_acc, dv_acc = carry
+            qg = q_ref[0, pl.ds(i * block_q, block_q), h0 * d:h0 * d + w]
+            dog = do_ref[0, pl.ds(i * block_q, block_q), h0 * d:h0 * d + w]
+            lse = jnp.concatenate(
+                [jnp.broadcast_to(
+                    stats_ref[0, h0 + j,
+                              pl.ds(i * block_q, block_q)].reshape(1, -1),
+                    (bk, block_q)) for j in range(p)], axis=0)
+            delta = jnp.concatenate(
+                [jnp.broadcast_to(
+                    stats_ref[0, num_heads + h0 + j,
+                              pl.ds(i * block_q, block_q)].reshape(1, -1),
+                    (bk, block_q)) for j in range(p)], axis=0)
+            logits_t = scale * jax.lax.dot_general(
+                kbd, qg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [p*bk, bq]
+            p_t = jnp.exp(logits_t - lse)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p_t.astype(dog.dtype), dog, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp_t = jax.lax.dot_general(vbd, dog, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            ds_t = p_t * (dp_t - delta)
+            dk_acc = dk_acc + scale * jax.lax.dot_general(
+                ds_t.astype(qg.dtype), qg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return dk_acc, dv_acc
+
+        zero = jnp.zeros((p * bk, w), jnp.float32)
+        dk, dv = jax.lax.fori_loop(0, num_q, body, (zero, zero))
+        for j in range(p):
+            dk_ref[0, :, (h0 + j) * d:(h0 + j + 1) * d] = dk[
+                j * bk:(j + 1) * bk, j * d:(j + 1) * d].astype(dk_ref.dtype)
+            dv_ref[0, :, (h0 + j) * d:(h0 + j + 1) * d] = dv[
+                j * bk:(j + 1) * bk, j * d:(j + 1) * d].astype(dv_ref.dtype)
+        h0 += p
+
+
 def _bwd_dkv_kernel_mh(q_ref, k_ref, v_ref, do_ref, stats_ref,
                        dk_ref, dv_ref, *, scale, num_heads, block_q, q_len):
     """dK/dV for one (b, k_tile), k-major per head (the transposed
@@ -420,9 +613,23 @@ def _flash_bwd_mh(q, k, v, out, lse, g, num_heads, scale, block_q=256,
     # in every BlockSpec, satisfying the TPU block rule)
     stats = jnp.concatenate([lse, delta], axis=1)
 
+    pack = _pack_factor(d)
+    if pack > 1:
+        dq_kernel = functools.partial(
+            _bwd_dq_kernel_mh_packed, scale=scale, num_heads=num_heads,
+            block_k=block_k, kv_len=tk, pack=pack)
+        dkv_kernel = functools.partial(
+            _bwd_dkv_kernel_mh_packed, scale=scale, num_heads=num_heads,
+            block_q=block_q, q_len=tq, pack=pack)
+    else:
+        dq_kernel = functools.partial(
+            _bwd_dq_kernel_mh, scale=scale, num_heads=num_heads,
+            block_k=block_k, kv_len=tk)
+        dkv_kernel = functools.partial(
+            _bwd_dkv_kernel_mh, scale=scale, num_heads=num_heads,
+            block_q=block_q, q_len=tq)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel_mh, scale=scale,
-                          num_heads=num_heads, block_k=block_k, kv_len=tk),
+        dq_kernel,
         grid=(b, tq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, c), lambda bi, qi: (bi, qi, 0)),
@@ -438,8 +645,7 @@ def _flash_bwd_mh(q, k, v, out, lse, g, num_heads, scale, block_q=256,
     )(q, k, v, g, stats)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel_mh, scale=scale,
-                          num_heads=num_heads, block_q=block_q, q_len=tq),
+        dkv_kernel,
         grid=(b, tk // block_k),
         in_specs=[
             pl.BlockSpec((1, tq, c), lambda bi, ki: (bi, 0, 0)),
@@ -787,7 +993,9 @@ def _mh_probe_compiles(t, width, num_heads, itemsize, bq, bk) -> bool:
     try:
         jax.jit(functools.partial(
             _flash_fwd_mh_res, num_heads=num_heads, scale=1.0,
-            block_q=bq, block_k=bk)).lower(arg, arg, arg).compile()
+            block_q=bq, block_k=bk,
+            pack=_pack_factor(width // num_heads))).lower(
+                arg, arg, arg).compile()
         return True
     except Exception:
         return False
@@ -796,7 +1004,8 @@ def _mh_probe_compiles(t, width, num_heads, itemsize, bq, bk) -> bool:
 def _mh_plan_verified(t, width, num_heads, itemsize):
     """_mh_plan + compile-probe fallback (TPU only).  Returns a plan whose
     kernel is KNOWN to compile, or None for the flat/einsum path."""
-    key = (t, width, num_heads, itemsize, jax.default_backend())
+    key = (t, width, num_heads, itemsize, jax.default_backend(),
+           _pack_factor(width // num_heads))
     if key in _MH_PLAN_CACHE:
         return _MH_PLAN_CACHE[key]
     plan = _mh_plan(t, width, num_heads, itemsize)

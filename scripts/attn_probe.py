@@ -62,15 +62,18 @@ def main():
                    help="BHxTxH triplets (BH = batch*heads, H = heads)")
     p.add_argument("--variants", nargs="*",
                    default=["flash", "kernel", "kernel128", "einsum"])
+    p.add_argument("--d", type=int, default=64,
+                   help="head dim (32 for the LDM tier's d_head)")
     args = p.parse_args()
     print("devices:", jax.devices())
 
+    from diff_sampler_tpu.ops import pallas_attention as PA
     from diff_sampler_tpu.ops.pallas_attention import (_reference_sdpa,
                                                        flash_attention,
                                                        flash_attention_mh,
                                                        sdpa)
 
-    d = 64
+    d = args.d
     for spec in args.shapes:
         bh, t, h = (int(s) for s in spec.split("x"))
         b = bh // h
@@ -108,6 +111,31 @@ def main():
                 # multi-head kernel on the native layout (no transposes,
                 # no d-pad; per-head d=64 MXU slices)
                 fn = lambda q, k, v: flash_attention_mh(q, k, v, float(scale))
+                a = nhwc
+                fl = flops
+            elif variant in ("mh_packed", "mh_unpacked"):
+                # A/B the small-d head-packed kernel (_PACK_SMALL_D note in
+                # pallas_attention.py) against the per-head loop, each under
+                # its own verified VMEM plan (the production dispatch path;
+                # raw default blocks OOM at e.g. width 448 H=14)
+                want = variant == "mh_packed"
+                PA._PACK_SMALL_D = want
+                try:
+                    plan = PA._mh_plan_verified(t, h * d, h, 2)
+                finally:
+                    PA._PACK_SMALL_D = True
+                if plan is None:
+                    print(f"{spec:>14s} {variant:10s} no viable plan")
+                    continue
+
+                def fn(q, k, v, want=want, plan=plan):
+                    PA._PACK_SMALL_D = want
+                    try:
+                        return flash_attention_mh(q, k, v, float(scale),
+                                                  False, plan[0], plan[1])
+                    finally:
+                        PA._PACK_SMALL_D = True
+                print(f"{spec:>14s} {variant:10s} plan={plan}")
                 a = nhwc
                 fl = flops
             elif variant.startswith("mh_"):

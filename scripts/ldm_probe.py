@@ -12,6 +12,10 @@ Variants:
   gn_passthru -- groupnorm_silu patched to one affine pass (GN share;
                  NOT numerically meaningful)
   bf16_params -- storage-dtype bf16 weights (per-eval f32->bf16 cast share)
+  sdpa_passthru -- sdpa patched to return q (attention-CORE share: the
+                 softmax(qk)v op alone, keeping the ST projections/GEGLU;
+                 NOT numerically meaningful).  no_attn minus this is the
+                 projection+FF share of the SpatialTransformer stack
 """
 
 import argparse
@@ -65,6 +69,7 @@ def main():
     results = {}
     for variant in args.variants:
         saved_gn = pallas_groupnorm.groupnorm_silu
+        saved_sdpa = pallas_attention.sdpa
         saved_kw = dict(pallas_attention.sdpa.__kwdefaults__)
         try:
             if variant == "gn_passthru":
@@ -77,6 +82,14 @@ def main():
                 pallas_attention.sdpa.__kwdefaults__["min_flash_tokens"] = 1 << 30
             if variant == "bf16_params":
                 os.environ["LDM_PROBE_BF16_PARAMS"] = "1"
+            if variant == "full_unpacked":
+                pallas_attention._PACK_SMALL_D = False
+            if variant == "sdpa_passthru":
+                def sdpa_passthru(q, k, v, scale=None, **kw):
+                    # cheap data dependence on k/v so nothing dead-code
+                    # eliminates; adds 2 VPU adds, no matmuls
+                    return q + 0.0 * (k[:, :1] + v[:, :1])
+                pallas_attention.sdpa = sdpa_passthru
 
             fn, params, x, t = build(args.batch, attn=(variant != "no_attn"))
             ms = chained_ms(fn, x, t, params=params)
@@ -84,7 +97,9 @@ def main():
             print(f"{variant:12s} {ms:8.2f} ms/eval "
                   f"({1e3 * args.batch / ms:7.1f} img/s-eval)")
         finally:
+            pallas_attention._PACK_SMALL_D = True
             pallas_groupnorm.groupnorm_silu = saved_gn
+            pallas_attention.sdpa = saved_sdpa
             pallas_attention.sdpa.__kwdefaults__.update(saved_kw)
             os.environ.pop("LDM_PROBE_BF16_PARAMS", None)
 

@@ -153,6 +153,31 @@ def test_flash_mh_matches_reference(b, t, h, d):
     assert not np.isnan(np.asarray(ours)).any()
 
 
+@pytest.mark.parametrize("b,t,h,d", [(2, 96, 14, 32), (1, 128, 5, 16),
+                                     (2, 100, 3, 32), (1, 256, 6, 64)])
+def test_flash_mh_packed_equals_unpacked(b, t, h, d):
+    """The small-d head-packed kernel (block-diagonal Q along sublanes, one
+    matmul pair per P=128//d heads -- _PACK_SMALL_D note) must agree with
+    the per-head loop to f32 reduction-order tolerance, partial tail groups
+    (H % P != 0) and ragged T included."""
+    import diff_sampler_tpu.ops.pallas_attention as PA
+
+    rng = np.random.RandomState(11)
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32) * 0.3)
+               for _ in range(3))
+    s = float(1 / np.sqrt(d))
+    assert PA._pack_factor(d) > 1  # every case exercises the packed path
+    packed = PA.flash_attention_mh(q, k, v, s, True, 128, 128)
+    PA._PACK_SMALL_D = False
+    try:
+        assert PA._pack_factor(d) == 1
+        unpacked = PA.flash_attention_mh(q, k, v, s, True, 128, 128)
+    finally:
+        PA._PACK_SMALL_D = True
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(unpacked),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("force_flash_bwd", [True, False])
 def test_flash_mh_gradients(force_flash_bwd, monkeypatch):
     """Both mh backward branches (flat Pallas kernels above the logits-byte
