@@ -151,7 +151,7 @@ def build_ldm_model(dataset_name, model_path=None, guidance_type=None,
                                 cond_stage_fn=cond_fn, dtype=dtype,
                                 remat=remat)
 
-    unet_bneck = _capture_middle(ld.unet, ld.unet_params)
+    unet_bneck = _capture_middle_lazy(ld)
     res, chn = ld.unet.image_size, ld.unet.in_channels
     if dataset_name == "ms_coco":
         precond = CFGPrecond(
@@ -182,11 +182,8 @@ def shard_ldm_tensor_parallel(precond, mesh):
 
     ld = precond.latent_diffusion
     ld.unet_params = tp.shard_params_tp(ld.unet_params, mesh)
-    bneck = _capture_middle(ld.unet, ld.unet_params)
-    if precond.guidance_type == "uncond":
-        precond.model_fn_bottleneck = lambda x, t, cond: bneck(x, t, None)
-    else:
-        precond.model_fn_bottleneck = bneck
+    # model_fn / model_fn_bottleneck read ld.unet_params at call time
+    # (_capture_middle_lazy, ldm.py:595) so they pick the shards up here
     return precond
 
 
@@ -258,6 +255,20 @@ def build_cm_model(model_path=None, dtype=jnp.float32):
                         model_fn_bottleneck=_capture_middle(net, params))
     precond.net = net  # for shard_pixel_tensor_parallel closure rebuilds
     return precond, params
+
+
+def _capture_middle_lazy(ld):
+    """LDM variant of _capture_middle reading ld.unet_params at CALL time —
+    the same late binding as LatentDiffusion.apply_model (ldm.py:595).  A
+    jit caller can then route the 274–860M tree as an ARGUMENT (assign the
+    tracer to ld.unet_params inside the traced fn) instead of embedding it
+    as HLO constants, which stalls the axon remote compile (BENCH_NOTES)."""
+
+    def fn(x, t, cond):
+        return ld.unet.apply({"params": ld.unet_params}, x, t, cond,
+                             return_bottleneck=True)
+
+    return fn
 
 
 def _capture_middle(net, params):

@@ -92,6 +92,11 @@ def main():
     p.add_argument("--num_steps", type=int, default=4)
     p.add_argument("--remat", type=lambda s: s.lower() != "false",
                    default=True)
+    p.add_argument("--teacher_bf16", action="store_true",
+                   help="hold the frozen teacher copy in bf16 (same dtype "
+                        "the sampling path runs the identical net in); "
+                        "saves 1.7 GiB on the 860M SD tier, whose f32 "
+                        "4-copy footprint alone is 13.8 of 15.75 GiB")
     p.add_argument("--lo", type=int, default=2)
     p.add_argument("--hi", type=int, default=6)
     args = p.parse_args()
@@ -108,7 +113,13 @@ def main():
         print(f"build+init: {time.perf_counter() - t0:.1f}s  "
               f"params={sum(a.size for a in jax.tree.leaves(params)) / 1e6:.0f}M")
         params = jax.device_put(params)
-        teacher = jax.tree.map(lambda a: a, params)
+        # a REAL copy: params is donated (argnum 0) every step, and donating
+        # a buffer that another argument (teacher) aliases is an
+        # INVALID_ARGUMENT on the axon backend (identity tree.map copies
+        # nothing -- jax arrays are immutable views of the same buffers)
+        teacher = jax.tree.map(
+            (lambda a: a.astype(jnp.bfloat16)) if args.teacher_bf16
+            else jnp.copy, params)
         opt_state = opt.init(params)
         jstep = jax.jit(step, donate_argnums=(0, 1))
         lat = jnp.asarray(rng.randn(*lat_shape), jnp.float32)
@@ -116,8 +127,22 @@ def main():
                if ctx_shape else None)
 
         t0 = time.perf_counter()
-        params, opt_state, m = jstep(params, opt_state, teacher, lat, ctx)
-        print(f"compile+first step: {time.perf_counter() - t0:.1f}s  "
+        # AOT lower+compile: axon memory_stats() returns no useful keys, so
+        # peak HBM comes from XLA's own memory_analysis of the executable
+        compiled = jstep.lower(params, opt_state, teacher, lat, ctx).compile()
+        print(f"compile: {time.perf_counter() - t0:.1f}s")
+        try:
+            ma = compiled.memory_analysis()
+            print(f"XLA memory: args {ma.argument_size_in_bytes / 2**30:.2f} "
+                  f"+ temp {ma.temp_size_in_bytes / 2**30:.2f} "
+                  f"+ out {ma.output_size_in_bytes / 2**30:.2f} GiB "
+                  f"(alias {ma.alias_size_in_bytes / 2**30:.2f})")
+        except Exception as e:  # pragma: no cover - backend-dependent
+            print("memory_analysis unavailable:", e)
+        t0 = time.perf_counter()
+        params, opt_state, m = compiled(params, opt_state, teacher, lat, ctx)
+        jstep = compiled  # all further steps ride the AOT executable
+        print(f"first step: {time.perf_counter() - t0:.1f}s  "
               f"loss={float(m['loss']):.4f}")
         print(f"flash bwd dispatch at trace: mh={counts['mh']} "
               f"flat={counts['flat']}")
@@ -136,9 +161,8 @@ def main():
         for _ in range(3):
             tl, th = run(args.lo), run(args.hi)
             deltas.append((th - tl) / (args.hi - args.lo))
-        # NOTE: each train step consumes `batch` images x num_steps-1
-        # student segments? No: SFD counts kimg by images per step (the
-        # reference's cur_nimg += batch, training_loop.py:297)
+        # kimg counts images per step, matching the reference's
+        # cur_nimg += batch (sfd training_loop.py:297), NOT student segments
         s_per_step = float(np.median(deltas))
         s_per_kimg = s_per_step * 1000.0 / args.batch
         stats = dev.memory_stats() or {}
@@ -160,7 +184,13 @@ def measure_amed(args, counts, rng, dev):
                                                 predictor_from_config)
 
     t0 = time.perf_counter()
-    precond, _ = build_ldm_model(args.tier, "random", dtype=jnp.bfloat16)
+    # ms_coco AMED trains THROUGH the CFG-doubled net at guidance 7.5 (the
+    # reference run matrix, amed training_loop.py:69-73); at guidance 1.0
+    # CFGPrecond skips the batch doubling (precond.py:340) and the
+    # cfg_doubled bottleneck slice below would mis-halve the batch
+    guided = args.tier == "ms_coco"
+    precond, _ = build_ldm_model(args.tier, "random", dtype=jnp.bfloat16,
+                                 guidance_rate=7.5 if guided else 1.0)
     res, chn = precond.img_resolution, precond.img_channels
     cfg = AMEDConfig(num_steps=args.num_steps + 1, M=1, sampler_stu="amed",
                      sampler_tea="heun", afs=False,
@@ -185,15 +215,39 @@ def measure_amed(args, counts, rng, dev):
                                 sigma_fn=precond.sigma,
                                 sigma_inv_fn=precond.sigma_inv)
     print(f"build+init: {time.perf_counter() - t0:.1f}s")
-    jstep = jax.jit(step, donate_argnums=(0, 1))
+    ld = precond.latent_diffusion
+    net_params = ld.unet_params
+
+    def step_with_params(pred_params, opt_state, lat, ctx, p):
+        # late-bind the frozen net's params as a jit ARGUMENT: closing over
+        # the 274-860M tree embeds it as HLO constants and the axon
+        # remote-compile 413s (BENCH_NOTES round 3; same as ldm_bench.py).
+        # The dataclass attribute is read lazily inside the trace
+        # (models/ldm.py:595), so assigning the tracer here routes it.
+        ld.unet_params = p
+        return step(pred_params, opt_state, lat, ctx)
+
+    jstep = jax.jit(step_with_params, donate_argnums=(0, 1))
     opt_state = opt.init(pred_params)
     lat = jnp.asarray(rng.randn(args.batch, res, res, chn), jnp.float32)
     ctx = (jnp.asarray(rng.randn(args.batch, 77, 768) * 0.3, jnp.float32)
            if args.tier == "ms_coco" else None)
 
     t0 = time.perf_counter()
-    pred_params, opt_state, m = jstep(pred_params, opt_state, lat, ctx)
-    print(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+    compiled = jstep.lower(pred_params, opt_state, lat, ctx,
+                           net_params).compile()
+    print(f"compile: {time.perf_counter() - t0:.1f}s")
+    try:
+        ma = compiled.memory_analysis()
+        print(f"XLA memory: args {ma.argument_size_in_bytes / 2**30:.2f} "
+              f"+ temp {ma.temp_size_in_bytes / 2**30:.2f} "
+              f"+ out {ma.output_size_in_bytes / 2**30:.2f} GiB")
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print("memory_analysis unavailable:", e)
+    t0 = time.perf_counter()
+    pred_params, opt_state, m = compiled(pred_params, opt_state, lat, ctx,
+                                         net_params)
+    print(f"first step: {time.perf_counter() - t0:.1f}s")
     print(f"flash bwd dispatch at trace: mh={counts['mh']} "
           f"flat={counts['flat']}")
 
@@ -201,7 +255,8 @@ def measure_amed(args, counts, rng, dev):
         nonlocal pred_params, opt_state
         t0 = time.perf_counter()
         for _ in range(n):
-            pred_params, opt_state, m = jstep(pred_params, opt_state, lat, ctx)
+            pred_params, opt_state, m = compiled(pred_params, opt_state, lat,
+                                                 ctx, net_params)
         jax.tree.leaves(m)[0].block_until_ready()
         float(np.asarray(jax.tree.leaves(m)[0]).ravel()[0])
         return time.perf_counter() - t0

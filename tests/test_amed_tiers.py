@@ -374,3 +374,46 @@ def test_amed_sample_cli_path_conditional(tmp_path):
                  4, str(out), False, False, "imagenet256-test")
     pngs = [f for _r, _d, fs in os.walk(out) for f in fs if f.endswith(".png")]
     assert len(pngs) == 3
+
+
+def test_ldm_bottleneck_tap_late_binds_params(monkeypatch):
+    """factory._capture_middle_lazy: the AMED bottleneck tap reads
+    ld.unet_params at CALL time (like LatentDiffusion.apply_model,
+    ldm.py:595), so a jit caller can route the 274-860M tree as an
+    ARGUMENT by assigning the tracer -- embedding it as HLO constants
+    stalls the axon remote compile (BENCH_NOTES round 4)."""
+    from diff_sampler_tpu.models import ldm as ldm_mod
+    from diff_sampler_tpu.models.factory import build_ldm_model
+    from test_sfd_ldm import CTX, _tiny_ldm_configs
+
+    monkeypatch.setattr(ldm_mod, "LDM_CONFIGS", _tiny_ldm_configs())
+    pre, _ = build_ldm_model("ms_coco", "random", guidance_rate=7.5)
+    ld = pre.latent_diffusion
+    params = ld.unet_params
+    res, chn = pre.img_resolution, pre.img_channels
+    x = jnp.ones((2, res, res, chn), jnp.float32)
+    sigma = jnp.full((2,), 1.0)
+    ctx = jnp.zeros((2, 77, CTX), jnp.float32)
+    uncond = jnp.zeros((1, 77, CTX), jnp.float32)
+
+    def tapped(p, x):
+        ld.unet_params = p  # routes BOTH model_fn and the bottleneck tap
+        out, act = pre.with_bottleneck(x, sigma, condition=ctx,
+                                       unconditional_condition=uncond)
+        return out, act
+
+    try:
+        jaxpr = jax.make_jaxpr(tapped)(params, x)
+        param_bytes = sum(a.size * a.dtype.itemsize
+                          for a in jax.tree.leaves(params))
+        const_bytes = sum(np.asarray(c).nbytes for c in jaxpr.consts)
+        # captured constants must be incidental scalars/tables, never the
+        # weight tree (tiny net here; at 860M this is 3.44 GB of HLO)
+        assert const_bytes < max(1024, param_bytes // 100), \
+            (const_bytes, param_bytes)
+        # and the tap really evaluates under the late-bound tree
+        out, act = jax.jit(tapped)(params, x)
+        assert np.isfinite(np.asarray(out)).all()
+        assert act.shape[0] == 2 * x.shape[0]  # CFG-doubled activation
+    finally:
+        ld.unet_params = params
