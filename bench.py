@@ -70,7 +70,7 @@ def main():
                      dtype=jnp.bfloat16)
     params = jax.jit(net.init)(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
                                jnp.ones((1,)))["params"]
-    den = bind(net, params)
+    sigma_min, sigma_max = net.sigma_min, net.sigma_max
 
     # flops per single denoiser eval (per image) from XLA cost analysis
     batch_probe = 8
@@ -85,19 +85,24 @@ def main():
 
     results = {}
     batch = 256
+    params = jax.device_put(params, dev)
     for label, num_steps in [("nfe5", 6), ("nfe10", 11), ("nfe35", 36)]:
-        t_steps = get_schedule(num_steps, den.sigma_min, den.sigma_max,
+        t_steps = get_schedule(num_steps, sigma_min, sigma_max,
                                "polynomial", 7.0)
 
         @jax.jit
-        def fn(lat, t=t_steps):
-            out = get_sampler("ipndm")(den, lat, t).x
+        def fn(p, lat, t=t_steps):
+            # params as a jit ARGUMENT: closing over the 56M tree embeds
+            # ~224 MB of HLO constants, which stalls the axon remote-compile
+            # service (observed 2026-08-19; same class as BENCH_NOTES'
+            # "remote-compile 413" on the LDM tiers)
+            out = get_sampler("ipndm")(bind(net, p), lat, t).x
             # chain: fold a scalar of the output back into the next latents
             return lat + jnp.mean(out) * 1e-12
 
         lat = jax.device_put(
             jax.random.normal(jax.random.key(1), (batch, 32, 32, 3)), dev)
-        lat = fn(lat)
+        lat = fn(params, lat)
         float(jnp.mean(lat))  # compile + warm; scalar fetch as fence --
         # block_until_ready alone under-reports over the axon tunnel
         # (BENCH_NOTES "Timing-harness fence fix")
@@ -107,7 +112,7 @@ def main():
         reps = max(3, round(90 / num_steps))
         t0 = time.perf_counter()
         for _ in range(reps):
-            lat = fn(lat)
+            lat = fn(params, lat)
         float(jnp.mean(lat))  # data-dependent scalar fence
         dt = (time.perf_counter() - t0) / reps
         results[label] = batch / dt
