@@ -81,6 +81,11 @@ def _resolve_snapshot(path_or_exp, outdir_base="./exps"):
 @click.option("--tp", type=int, default=1,
               help="Tensor-parallel degree for the latent tiers: shard the "
                    "U-Net weights over a (data, model) mesh (parallel/tp.py)")
+@click.option("--sp", type=int, default=1,
+              help="Sequence-parallel degree: ring attention over a "
+                   "(data, seq) mesh shards each image's attention tokens "
+                   "across devices (ops/ring_attention.py); the T=4096 SD "
+                   "latent level is the motivating case")
 # SOLVER_FLAGS
 @click.option("--solver", type=click.Choice(["euler", "heun", "dpm", "ipndm",
                                              "ipndm_v", "dpmpp", "unipc", "deis",
@@ -124,7 +129,7 @@ def _resolve_snapshot(path_or_exp, outdir_base="./exps"):
 @click.option("--num_steps_tea", type=int, default=61)
 @click.option("--solver_tea", type=str, default="ipndm")
 def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
-         outdir, subdirs, bf16, tp, solver, num_steps, afs, denoise_to_zero,
+         outdir, subdirs, bf16, tp, sp, solver, num_steps, afs, denoise_to_zero,
          return_inters, schedule_type, schedule_rho, sigma_min, sigma_max,
          t_steps, max_order, predict_x0, lower_order_final, variant, deis_mode,
          r, skip_tuning, guidance_type, guidance_rate, prompt, dp, metric,
@@ -213,6 +218,17 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
         set_tp_context(tp_mesh)
         print0(f"Tensor parallel: U-Net weights sharded over "
                f"mesh {dict(tp_mesh.shape)}")
+    if sp > 1:
+        if tp > 1:
+            raise click.UsageError("--tp and --sp are mutually exclusive "
+                                   "(one attention sharding at a time)")
+        from ..ops.ring_attention import set_sp_context
+        from ..parallel.tp import get_mesh_2d
+
+        sp_mesh = get_mesh_2d(sp, model_axis="seq")
+        set_sp_context(sp_mesh, seq_axis="seq", batch_axis="data")
+        print0(f"Sequence parallel: ring attention over mesh "
+               f"{dict(sp_mesh.shape)}")
 
     cond = {}
     per_seed_cond = None

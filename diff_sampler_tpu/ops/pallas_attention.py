@@ -1087,6 +1087,16 @@ def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
         scale = 1.0 / math.sqrt(d)
     on_tpu = jax.default_backend() == "tpu"
     use_flash = force_flash or (on_tpu and t >= min_flash_tokens)
+    if not _local:
+        # sequence-parallel context (ring attention over a token-sharded
+        # mesh axis, ops/ring_attention.py) -- checked before TP: both are
+        # installed explicitly and SP is the more specific intent
+        from . import ring_attention as RA
+        from .ring_attention import _SP_CTX, sp_sdpa
+        if _SP_CTX is not None and t >= RA._SP_MIN_TOKENS:
+            out = sp_sdpa(q, k, v, float(scale))
+            if out is not None:
+                return out
     if use_flash and _TP_CTX is not None and not _local:
         out = _sdpa_tp_shard_map(q, k, v, float(scale), min_flash_tokens)
         if out is not None:

@@ -1,0 +1,212 @@
+"""Sequence-parallel (ring) attention over a named mesh axis.
+
+The reference never shards a single image's computation: its largest
+attention (Stable Diffusion's 64x64 latent level, T=4096 at width 320,
+`models/ldm/modules/attention.py:152-260`) runs whole on one GPU.  On TPU
+the natural scale-out for that level is sequence parallelism: shard the
+token axis T over a mesh axis, keep Q local, and rotate K/V blocks around
+the ring with `lax.ppermute` while an online-softmax accumulator merges
+the partial attention of each visiting block (the RingAttention
+construction; see PAPERS.md).  Per device that is
+
+  * O(T/n) K/V residency instead of O(T),
+  * flash-kernel partials (ops/pallas_attention) on [B, T_q/n, T_k/n]
+    tiles -- never a materialized [T, T],
+  * ICI traffic of exactly one K/V rotation per step, overlappable with
+    the partial-attention compute by XLA's async collectives.
+
+Everything here is differentiable: the flash partial carries a custom
+VJP (einsum recompute of the local tile INCLUDING the lse cotangent --
+the log-sum-exp feeds the cross-step combine, so its gradient term
+P_ij * g_lse_i is NOT optional), and the ring itself is a `lax.scan`
+over `ppermute`s, both of which JAX reverse-differentiates natively.
+Backward-pass residuals are the rotated K/V carries (n blocks of T/n =
+one full K/V copy per device) -- same as a replicated layout, but the
+[T, T] logits never exist, which is what actually OOMs at T=4096.
+
+Usage: either call `ring_sdpa` inside your own `shard_map`, or install
+`set_sp_context(mesh, seq_axis=...)` and let `ops.pallas_attention.sdpa`
+dispatch the shard_map wrapper automatically (mirrors `set_tp_context`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+def _partial_einsum(q, k, v, scale):
+    """Local attention tile -> (o [B,Tq,H,d] f32, lse [B,H,Tq] f32).
+
+    Plain jnp ops, differentiable by autodiff; numerics match the flash
+    kernel (f32 logits, row-max-shifted exp, weights cast to v.dtype).
+    """
+    logits = scale * jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    e = jnp.exp(logits - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    lse = (m + jnp.log(l))[..., 0]
+    w = (e / l).astype(v.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", w, v,
+                   preferred_element_type=jnp.float32)
+    return o, lse
+
+
+def _partial_flash_fwd(q, k, v, scale):
+    """Flash-kernel partial: same contract as `_partial_einsum` but the
+    forward runs the multi-head Pallas kernel (native [B,T,H,d] layout,
+    head packing at small d).  Returns ((o, lse), residuals)."""
+    from . import pallas_attention as PA
+
+    b, t, h, d = q.shape
+    itemsize = jnp.dtype(q.dtype).itemsize
+    on_tpu = jax.default_backend() == "tpu"
+    plan = PA._mh_plan_verified(t, h * d, h, itemsize) if d % 8 == 0 else None
+    if plan is None:
+        out = _partial_einsum(q, k, v, scale)
+        return out, (q, k, v, out[0], out[1])
+    o, lse = PA._flash_fwd_mh_res(
+        q.reshape(b, t, h * d), k.reshape(b, t, h * d),
+        v.reshape(b, t, h * d), h, scale, block_q=plan[0], block_k=plan[1],
+        interpret=not on_tpu, pack=PA._pack_factor(d))
+    o = o.reshape(b, t, h, d).astype(jnp.float32)
+    lse = lse[:, :, :t]
+    return (o, lse), (q, k, v, o, lse)
+
+
+def _make_partial_flash(scale):
+    """Differentiable flash partial for one ring step.  The VJP recomputes
+    the local tile by einsum with the lse cotangent folded in (the combine
+    differentiates through lse, so its term P_ij * gL_i is NOT optional):
+
+      S = scale * q k^T ; lse_i = logsumexp_j S_ij ; P = exp(S - lse)
+      dS_ij = P_ij * ((gO V^T)_ij - delta_i + gL_i),
+              delta_i = gO_i . O_i   (flash-backward identity)
+      dQ = scale * dS K ; dK = scale * dS^T Q ; dV = P^T gO
+    """
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _partial_flash_fwd(q, k, v, scale)[0]
+
+    def fwd(q, k, v):
+        return _partial_flash_fwd(q, k, v, scale)
+
+    def bwd(res, g):
+        q, k, v, o, lse = res
+        g_o = g[0].astype(jnp.float32)
+        g_lse = g[1]
+        s = scale * jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                               preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse[..., None])
+        dp = jnp.einsum("bqhd,bkhd->bhqk", g_o, v.astype(jnp.float32))
+        delta = jnp.sum(g_o * o, axis=-1).transpose(0, 2, 1)
+        ds = p * (dp - delta[..., None] + g_lse[..., None])
+        dq = scale * jnp.einsum("bhqk,bkhd->bqhd", ds,
+                                k.astype(jnp.float32))
+        dk = scale * jnp.einsum("bhqk,bqhd->bkhd", ds,
+                                q.astype(jnp.float32))
+        dv = jnp.einsum("bhqk,bqhd->bkhd", p, g_o)
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _combine(o_a, lse_a, o_b, lse_b):
+    """Merge two partial-attention results by their log-sum-exps.
+    o_*: [B,T,H,d] f32 (locally softmax-normalized), lse_*: [B,H,T] f32."""
+    lse = jnp.logaddexp(lse_a, lse_b)
+    wa = jnp.exp(lse_a - lse).transpose(0, 2, 1)[..., None]
+    wb = jnp.exp(lse_b - lse).transpose(0, 2, 1)[..., None]
+    return wa * o_a + wb * o_b, lse
+
+
+def ring_sdpa(q, k, v, scale=None, *, axis_name: str, impl: str = "auto"):
+    """Ring attention over mesh axis `axis_name` (call inside shard_map).
+
+    q, k, v: the LOCAL token shard [B, T/n, H, d]; returns [B, T/n, H, d].
+    Every device holds its Q shard for the whole pass while K/V shards
+    rotate n-1 times around the ring; partials merge online by lse.
+    impl: 'flash' | 'einsum' | 'auto' (flash when a verified VMEM plan
+    exists for the local tile, else einsum).
+    """
+    b, t, h, d = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    scale = float(scale)
+    n = jax.lax.axis_size(axis_name)
+    if impl == "einsum":
+        partial = lambda q_, k_, v_: _partial_einsum(q_, k_, v_, scale)
+    else:
+        partial = _make_partial_flash(scale)
+
+    o, lse = partial(q, k, v)
+    if n == 1:
+        return o.astype(q.dtype)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    kc = jax.lax.ppermute(k, axis_name, perm)
+    vc = jax.lax.ppermute(v, axis_name, perm)
+
+    def step(carry, _):
+        kc, vc, o_acc, lse_acc = carry
+        o_p, lse_p = partial(q, kc, vc)
+        o_acc, lse_acc = _combine(o_acc, lse_acc, o_p, lse_p)
+        # the final rotation is one block of redundant ICI traffic; keeping
+        # the scan body uniform lets XLA overlap every rotation with the
+        # NEXT partial's compute (async collective permute)
+        kn = jax.lax.ppermute(kc, axis_name, perm)
+        vn = jax.lax.ppermute(vc, axis_name, perm)
+        return (kn, vn, o_acc, lse_acc), None
+
+    (_, _, o, _), _ = jax.lax.scan(step, (kc, vc, o, lse), None, length=n - 1)
+    return o.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# sdpa integration: a context mirroring pallas_attention.set_tp_context.
+
+_SP_CTX = None
+
+# Don't ring the small levels: below this T the [T,T] logits are tiny and
+# the reshard + rotation latency dominates (tests patch this down).
+_SP_MIN_TOKENS = 256
+
+
+def set_sp_context(mesh, seq_axis: str = "seq",
+                   batch_axis: Optional[str] = "data"):
+    """Install (or clear, mesh=None) the sequence-parallel mesh used by
+    `ops.pallas_attention.sdpa` to dispatch ring attention.  `batch_axis`
+    (if present in the mesh) additionally shards B the usual way."""
+    global _SP_CTX
+    if mesh is None:
+        _SP_CTX = None
+        return
+    if batch_axis is not None and batch_axis not in mesh.shape:
+        batch_axis = None
+    _SP_CTX = (mesh, seq_axis, batch_axis)
+
+
+def sp_sdpa(q, k, v, scale, *, impl: str = "auto"):
+    """shard_map(ring_sdpa) over the installed SP mesh, or None if the
+    shapes don't divide it (caller falls back to the local paths)."""
+    if _SP_CTX is None:
+        return None
+    mesh, sa, ba = _SP_CTX
+    n = mesh.shape[sa]
+    b, t, h, d = q.shape
+    dp = mesh.shape[ba] if ba else 1
+    if n <= 1 or t % n or (t // n) % 8 or b % dp:
+        return None
+    spec = P(ba, sa, None, None)
+
+    def body(ql, kl, vl):
+        return ring_sdpa(ql, kl, vl, scale, axis_name=sa, impl=impl)
+
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    return fn(q, k, v)
