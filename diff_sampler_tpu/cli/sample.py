@@ -139,6 +139,9 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
 
     from ..parallel.mesh import maybe_initialize_distributed
 
+    if tp > 1 and sp > 1:
+        raise click.UsageError("--tp and --sp are mutually exclusive "
+                               "(one attention sharding at a time)")
     maybe_initialize_distributed()
     seeds = parse_int_list(seeds)
     dtype = jnp.bfloat16 if bf16 else jnp.float32
@@ -219,9 +222,6 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
         print0(f"Tensor parallel: U-Net weights sharded over "
                f"mesh {dict(tp_mesh.shape)}")
     if sp > 1:
-        if tp > 1:
-            raise click.UsageError("--tp and --sp are mutually exclusive "
-                                   "(one attention sharding at a time)")
         from ..ops.ring_attention import set_sp_context
         from ..parallel.tp import get_mesh_2d
 

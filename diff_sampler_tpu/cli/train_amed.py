@@ -66,6 +66,9 @@ from ..utils.rng import stacked_randn
               help="Tensor-parallel degree for the latent tiers: the frozen "
                    "LDM/SD net the predictor trains through is sharded over "
                    "a (data, model) mesh (parallel/tp.py)")
+@click.option("--sp", type=int, default=1,
+              help="Sequence-parallel degree: ring attention over a "
+                   "(data, seq) mesh (ops/ring_attention.py)")
 @click.option("--desc", type=str, default=None)
 @click.option("--tick", type=click.IntRange(min=1), default=1)
 @click.option("--seed", type=int, default=0)
@@ -73,11 +76,14 @@ from ..utils.rng import stacked_randn
 def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
          total_kimg, model_path, num_steps, sampler_stu, sampler_tea, M,
          schedule_type, schedule_rho, afs, scale_dir, scale_time, max_order,
-         predict_x0, lower_order_final, batch, batch_gpu, lr, tp, desc, tick,
-         seed, dry_run):
+         predict_x0, lower_order_final, batch, batch_gpu, lr, tp, sp, desc,
+         tick, seed, dry_run):
     import jax
     import optax
 
+    if tp > 1 and sp > 1:
+        raise click.UsageError("--tp and --sp are mutually exclusive "
+                               "(one attention sharding at a time)")
     maybe_initialize_distributed()
     if dataset_name == "ms_coco":
         assert guidance_type == "cfg", "ms_coco trains with --guidance_type=cfg"
@@ -138,6 +144,14 @@ def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
         set_tp_context(tp_mesh)  # flash attention via shard_map over 'model'
         print0(f"Tensor parallel: frozen net sharded over "
                f"mesh {dict(tp_mesh.shape)}")
+    if sp > 1:
+        from ..ops.ring_attention import set_sp_context
+        from ..parallel.tp import get_mesh_2d
+
+        tp_mesh = get_mesh_2d(sp, model_axis="seq")  # reused as the run mesh
+        set_sp_context(tp_mesh, seq_axis="seq", batch_axis="data")
+        print0(f"Sequence parallel: ring attention over mesh "
+               f"{dict(tp_mesh.shape)}")
 
     conditional = src == "adm"  # CG tier draws random labels per trajectory
     text_cond = src == "sd"  # SD draws random captions (training_loop.py:173-180)

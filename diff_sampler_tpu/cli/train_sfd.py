@@ -66,6 +66,9 @@ LATENT_DATASETS = ("ms_coco", "lsun_bedroom_ldm", "ffhq_ldm")
               help="Tensor-parallel degree for the latent tiers: student + "
                    "teacher weights and optimizer moments sharded over a "
                    "(data, model) mesh (parallel/tp.py)")
+@click.option("--sp", type=int, default=1,
+              help="Sequence-parallel degree: ring attention over a "
+                   "(data, seq) mesh (ops/ring_attention.py)")
 @click.option("--prompts_path", type=str, default=None,
               help="MS-COCO captions CSV with a 'text' column "
                    "(sfd training_loop.py:168-178)")
@@ -85,12 +88,15 @@ LATENT_DATASETS = ("ms_coco", "lsun_bedroom_ldm", "ffhq_ldm")
 def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
          model_path, num_steps, sampler_tea, M, guidance_type, guidance_rate,
          schedule_type, schedule_rho, afs, max_order, predict_x0,
-         lower_order_final, batch, batch_gpu, lr, tp, prompts_path, remat,
+         lower_order_final, batch, batch_gpu, lr, tp, sp, prompts_path, remat,
          resume, desc, tick, snap, seed, dry_run):
     import jax
     import jax.numpy as jnp
     import optax
 
+    if tp > 1 and sp > 1:
+        raise click.UsageError("--tp and --sp are mutually exclusive "
+                               "(one attention sharding at a time)")
     maybe_initialize_distributed()
     latent = dataset_name in LATENT_DATASETS
     if remat is None:
@@ -192,6 +198,14 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
         set_tp_context(mesh)  # flash attention via shard_map over 'model'
         print0(f"Tensor parallel: {tpmod.count_sharded(specs)} weights "
                f"sharded over mesh {dict(mesh.shape)}")
+    if sp > 1:
+        from ..ops.ring_attention import set_sp_context
+        from ..parallel import tp as tpmod
+
+        mesh = tpmod.get_mesh_2d(sp, model_axis="seq")
+        set_sp_context(mesh, seq_axis="seq", batch_axis="data")
+        print0(f"Sequence parallel: ring attention over mesh "
+               f"{dict(mesh.shape)}")
     rep = replicated(mesh)
     p_sh = tp_sh if tp_sh is not None else rep
     shard = data_sharding(mesh, 4)

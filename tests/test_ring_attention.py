@@ -152,6 +152,56 @@ def test_sample_cli_sp(tmp_path, monkeypatch):
     assert np.abs(outs[1] - outs[2]).max() <= 1
 
 
+@pytest.mark.slow
+def test_train_sfd_cli_sp(tmp_path, monkeypatch):
+    """`--sp=2` on a latent training tier: the ring dispatches inside the
+    distillation train step (fwd+bwd) and training completes finite."""
+    import json
+
+    from click.testing import CliRunner
+
+    from diff_sampler_tpu.cli.train_sfd import main
+    from diff_sampler_tpu.models import ldm as ldm_mod
+    from test_sfd_ldm import _tiny_ldm_configs
+
+    monkeypatch.setattr(ldm_mod, "LDM_CONFIGS", _tiny_ldm_configs())
+    monkeypatch.setattr(RA, "_SP_MIN_TOKENS", 8)
+    calls = []
+    real = RA.sp_sdpa
+
+    def spy(*a, **k):
+        out = real(*a, **k)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(RA, "sp_sdpa", spy)
+    res = CliRunner().invoke(main, [
+        "--dataset_name=lsun_bedroom_ldm", f"--outdir={tmp_path}",
+        "--model_path=random", "--total_kimg=1", "--batch=512", "--sp=2",
+        "--num_steps=3", "--m=1", "--schedule_type=discrete",
+        "--schedule_rho=1", "--afs=False", "--guidance_type=uncond",
+        "--tick=1", "--snap=1"], catch_exceptions=False)
+    RA.set_sp_context(None)
+    assert res.exit_code == 0, res.output
+    assert "Sequence parallel" in res.output
+    assert any(calls), "ring attention never dispatched"
+    run = next(tmp_path.iterdir())
+    stats = (run / "stats.jsonl").read_text().strip().splitlines()
+    assert stats and np.isfinite(json.loads(stats[-1])["Loss/loss"]["mean"])
+
+
+def test_train_cli_sp_tp_exclusive(tmp_path):
+    from click.testing import CliRunner
+
+    from diff_sampler_tpu.cli.train_sfd import main
+
+    res = CliRunner().invoke(main, [
+        "--dataset_name=lsun_bedroom_ldm", f"--outdir={tmp_path}",
+        "--model_path=random", "--tp=2", "--sp=2"])
+    assert res.exit_code != 0
+    assert "mutually exclusive" in res.output
+
+
 def test_sp_fallback_on_indivisible():
     """T not divisible by the seq axis (or local shard not 8-aligned) ->
     sp_sdpa declines and sdpa falls back to the local paths."""
