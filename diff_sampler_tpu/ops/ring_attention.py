@@ -7,7 +7,9 @@ the natural scale-out for that level is sequence parallelism: shard the
 token axis T over a mesh axis, keep Q local, and rotate K/V blocks around
 the ring with `lax.ppermute` while an online-softmax accumulator merges
 the partial attention of each visiting block (the RingAttention
-construction; see PAPERS.md).  Per device that is
+construction of Liu et al. 2023, arXiv:2310.01889, re-derived here for
+the non-causal bidirectional attention these U-Nets use).  Per device
+that is
 
   * O(T/n) K/V residency instead of O(T),
   * flash-kernel partials (ops/pallas_attention) on [B, T_q/n, T_k/n]

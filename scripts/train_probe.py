@@ -52,7 +52,8 @@ def flash_bwd_counters():
     return counts
 
 
-def build_sfd(tier, batch, batch_gpu, num_steps=4, remat=True):
+def build_sfd(tier, batch, batch_gpu, num_steps=4, remat=True,
+              mu_bf16=False):
     import optax
 
     from diff_sampler_tpu.models.factory import build_ldm_model
@@ -64,7 +65,10 @@ def build_sfd(tier, batch, batch_gpu, num_steps=4, remat=True):
     n_acc = max(1, batch // (batch_gpu or batch))
     cfg = SFDConfig(num_steps=num_steps, M=3, sampler_tea="dpmpp",
                     schedule_type="discrete", schedule_rho=1.0, afs=False)
-    opt = optax.adam(5e-5)
+    # bf16 first moment: the 860M SD tier's f32 4-copy footprint (student +
+    # m + v + teacher) plus the remat'd backward exceeds one 15.75 GiB v5e
+    # by ~0.8 GiB; Adam's m tolerates bf16 (v stays f32)
+    opt = optax.adam(5e-5, mu_dtype=jnp.bfloat16 if mu_bf16 else None)
 
     def unet_apply(p, x, t, c=None):
         # same functional call as cli/train_sfd._unet_apply: params explicit
@@ -97,6 +101,8 @@ def main():
                         "the sampling path runs the identical net in); "
                         "saves 1.7 GiB on the 860M SD tier, whose f32 "
                         "4-copy footprint alone is 13.8 of 15.75 GiB")
+    p.add_argument("--mu_bf16", action="store_true",
+                   help="Adam first moment in bf16 (see build_sfd note)")
     p.add_argument("--lo", type=int, default=2)
     p.add_argument("--hi", type=int, default=6)
     args = p.parse_args()
@@ -109,7 +115,8 @@ def main():
     if args.mode == "sfd":
         t0 = time.perf_counter()
         step, opt, params, lat_shape, ctx_shape = build_sfd(
-            args.tier, args.batch, args.batch_gpu, args.num_steps, args.remat)
+            args.tier, args.batch, args.batch_gpu, args.num_steps, args.remat,
+            args.mu_bf16)
         print(f"build+init: {time.perf_counter() - t0:.1f}s  "
               f"params={sum(a.size for a in jax.tree.leaves(params)) / 1e6:.0f}M")
         params = jax.device_put(params)
