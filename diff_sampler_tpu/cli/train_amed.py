@@ -62,6 +62,10 @@ from ..utils.rng import stacked_randn
               help="Microbatch for gradient accumulation (reference "
                    "--batch-gpu); a 16GB v5e fits 256 directly")
 @click.option("--lr", type=float, default=5e-3)
+@click.option("--remat_traj", type=bool, default=False,
+              help="Rematerialize the frozen-net evals in the student "
+                   "backward (trajectory memory lever for the CFG-doubled "
+                   "SD tier; ~1 extra forward per eval)")
 @click.option("--tp", type=int, default=1,
               help="Tensor-parallel degree for the latent tiers: the frozen "
                    "LDM/SD net the predictor trains through is sharded over "
@@ -76,8 +80,8 @@ from ..utils.rng import stacked_randn
 def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
          total_kimg, model_path, num_steps, sampler_stu, sampler_tea, M,
          schedule_type, schedule_rho, afs, scale_dir, scale_time, max_order,
-         predict_x0, lower_order_final, batch, batch_gpu, lr, tp, sp, desc,
-         tick, seed, dry_run):
+         predict_x0, lower_order_final, batch, batch_gpu, lr, remat_traj,
+         tp, sp, desc, tick, seed, dry_run):
     import jax
     import optax
 
@@ -94,7 +98,8 @@ def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
                      max_order=max_order, predict_x0=predict_x0,
                      lower_order_final=lower_order_final, lr=lr,
                      total_kimg=total_kimg, batch=batch, batch_gpu=batch_gpu,
-                     guidance_type=guidance_type, guidance_rate=guidance_rate)
+                     guidance_type=guidance_type, guidance_rate=guidance_rate,
+                     remat_traj=remat_traj)
     if dry_run:
         print0("Training options:")
         print0(json.dumps(dataclasses.asdict(cfg), indent=2))

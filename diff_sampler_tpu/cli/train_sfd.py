@@ -69,6 +69,11 @@ LATENT_DATASETS = ("ms_coco", "lsun_bedroom_ldm", "ffhq_ldm")
 @click.option("--sp", type=int, default=1,
               help="Sequence-parallel degree: ring attention over a "
                    "(data, seq) mesh (ops/ring_attention.py)")
+@click.option("--fsdp", is_flag=True, default=False,
+              help="Fully-sharded data parallel: student, teacher, and Adam "
+                   "moments sharded 1/n per device over the data axis "
+                   "(parallel/fsdp.py; ZeRO-3 -- the memory lever for the "
+                   "860M SD student)")
 @click.option("--prompts_path", type=str, default=None,
               help="MS-COCO captions CSV with a 'text' column "
                    "(sfd training_loop.py:168-178)")
@@ -88,8 +93,8 @@ LATENT_DATASETS = ("ms_coco", "lsun_bedroom_ldm", "ffhq_ldm")
 def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
          model_path, num_steps, sampler_tea, M, guidance_type, guidance_rate,
          schedule_type, schedule_rho, afs, max_order, predict_x0,
-         lower_order_final, batch, batch_gpu, lr, tp, sp, prompts_path, remat,
-         resume, desc, tick, snap, seed, dry_run):
+         lower_order_final, batch, batch_gpu, lr, tp, sp, fsdp, prompts_path,
+         remat, resume, desc, tick, snap, seed, dry_run):
     import jax
     import jax.numpy as jnp
     import optax
@@ -97,6 +102,10 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
     if tp > 1 and sp > 1:
         raise click.UsageError("--tp and --sp are mutually exclusive "
                                "(one attention sharding at a time)")
+    if fsdp and tp > 1:
+        raise click.UsageError("--fsdp and --tp are mutually exclusive "
+                               "(one weight sharding at a time; --fsdp does "
+                               "combine with --sp)")
     maybe_initialize_distributed()
     latent = dataset_name in LATENT_DATASETS
     if remat is None:
@@ -206,8 +215,23 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
         set_sp_context(mesh, seq_axis="seq", batch_axis="data")
         print0(f"Sequence parallel: ring attention over mesh "
                f"{dict(mesh.shape)}")
+    fsdp_sh = None
+    if fsdp:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel import fsdp as fsdpmod
+
+        n_shard = mesh.shape["data"]
+        specs = fsdpmod.fsdp_param_specs(params, n_shard)
+        fsdp_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                               is_leaf=lambda x: isinstance(x, PartitionSpec))
+        gib = fsdpmod.fsdp_bytes_per_device(params, specs, n_shard) / 2**30
+        print0(f"FSDP: {fsdpmod.count_sharded_fsdp(specs)} weights sharded "
+               f"1/{n_shard} per device ({gib:.2f} GiB/device resident vs "
+               f"replicated)")
     rep = replicated(mesh)
-    p_sh = tp_sh if tp_sh is not None else rep
+    p_sh = tp_sh if tp_sh is not None else (
+        fsdp_sh if fsdp_sh is not None else rep)
     shard = data_sharding(mesh, 4)
     conditional = label_dim > 0 or context_fn is not None
     cond_ndim = 3 if context_fn is not None else 2
@@ -257,9 +281,11 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
 
         opt_state = jax.tree.map(_place, ref_state, opt_state)
     del ref_state
-    if tp_sh is not None:
+    if (tp_sh is not None or fsdp_sh is not None) and latent:
         # rebind so the stale unsharded tree is released (it is otherwise
-        # kept alive through the LatentDiffusion the step builder closes over)
+        # kept alive through the LatentDiffusion the step builder closes
+        # over); `ld` only exists on the latent tiers -- pixel students keep
+        # nothing stale (their module is a pure flax def, params-free)
         ld.unet_params = params
 
     collector = training_stats.default_collector

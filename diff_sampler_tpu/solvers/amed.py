@@ -216,6 +216,7 @@ def _amed_family(
     total_num_steps: Optional[int] = None,
     bottleneck_dim: int = 64,
     dtype=jnp.float32,
+    remat: bool = False,
 ):
     """Shared driver for the AMED solver family.  Python loop over steps
     (unrolled under jit), two denoiser evals per step (midpoint insertion).
@@ -224,6 +225,13 @@ def _amed_family(
     (t_steps=[t_cur, t_next]) with `step_idx`/`total_num_steps` giving the
     position in the full schedule (dpmpp order bookkeeping,
     solvers_amed.py:566-567) and buffers carried across calls.
+
+    remat=True wraps each frozen-net evaluation in `jax.checkpoint`:
+    gradients flow only THROUGH the net (into the predictor's r/c_n/a_n),
+    so the backward pass can recompute the net's activations instead of
+    storing them -- the trajectory-level memory lever for the big frozen
+    tiers (AMED ms_coco's backward through 2x CFG-doubled SD evals measured
+    11.23 GiB of XLA temp unrecomputed, BENCH_NOTES round 4).
     """
     t = np.asarray(t_steps, dtype=np.float64)
     n = len(t) - 1
@@ -243,6 +251,13 @@ def _amed_family(
 
     bshape = (latents.shape[0], bottleneck_dim)
 
+    if remat:
+        _den_wb = jax.checkpoint(lambda xx, tt: denoise_b.with_bottleneck(xx, tt))
+        _den = jax.checkpoint(lambda xx, tt: denoise_b(xx, tt))
+    else:
+        _den_wb = denoise_b.with_bottleneck
+        _den = lambda xx, tt: denoise_b(xx, tt)
+
     for i in range(n):
         t_cur = jnp.asarray(t[i], dtype)
         t_next = jnp.asarray(t[i + 1], dtype)
@@ -258,7 +273,7 @@ def _amed_family(
             denoised = x - t_cur * d_cur
             bott = jnp.zeros(bshape, dtype)
         else:
-            denoised, bott = denoise_b.with_bottleneck(x, t_cur)
+            denoised, bott = _den_wb(x, t_cur)
             d_cur = (x - denoised) / t_cur
 
         r, sd, st = _predict(predictor_apply, bott, t_cur, t_next)
@@ -283,7 +298,7 @@ def _amed_family(
             raise ValueError(mode)
 
         # Second (midpoint) evaluation at scale_time * t_mid.
-        denoised_mid = denoise_b(x, (st * t_mid).reshape(-1))
+        denoised_mid = _den(x, (st * t_mid).reshape(-1))
         d_mid = (x - denoised_mid) / t_mid
 
         if mode == "amed":

@@ -65,6 +65,11 @@ class AMEDConfig:
     # amed train.py:43 + ddp_sync rounds, training_loop.py:197-205); None =
     # no accumulation.  A 16GB v5e fits batch 256 directly; 512 needs 2x.
     batch_gpu: Optional[int] = None
+    # rematerialize the frozen-net evals in the student backward
+    # (jax.checkpoint per eval): trades ~one extra forward per eval for the
+    # trajectory activation memory -- the lever for the CFG-doubled SD tier
+    # whose unrecomputed backward measured 11.23 GiB of XLA temp.
+    remat_traj: bool = False
 
 
 def predictor_from_config(cfg: AMEDConfig, bottleneck_dim: int = 64) -> AMEDPredictor:
@@ -147,7 +152,8 @@ def make_amed_train_step(predictor: AMEDPredictor, denoise_b, cfg: AMEDConfig,
                     predict_x0=cfg.predict_x0,
                     lower_order_final=cfg.lower_order_final,
                     buffer_in=bufs[0], buffer_t_in=bufs[1], train=True,
-                    step_idx=step_idx, total_num_steps=cfg.num_steps)
+                    step_idx=step_idx, total_num_steps=cfg.num_steps,
+                    remat=cfg.remat_traj)
                 loss = ((res.x - tea_target) ** 2).sum() / x_in.shape[0]
                 return loss, (res.x, bufs_out)
 

@@ -198,3 +198,41 @@ def test_amed_grad_accumulation_matches_full_batch():
     for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=1e-3)
+
+
+def test_amed_remat_traj_is_exact():
+    """remat_traj=True (jax.checkpoint around the frozen-net evals) must be
+    numerically EXACT: recomputation replays the same forward, so losses and
+    updated predictor params match bit-for-bit-ish (single jit, same order)."""
+    import dataclasses
+
+    import optax
+
+    from diff_sampler_tpu.training.amed import (AMEDConfig,
+                                                make_amed_train_step,
+                                                predictor_from_config)
+
+    net_j = P.EDMPrecond(img_resolution=RES, img_channels=CH, label_dim=0,
+                         model_type="SongUNet", model_kwargs=UNET_KW)
+    params = net_j.init(jax.random.key(0), jnp.zeros((1, RES, RES, CH)),
+                        jnp.ones((1,)))["params"]
+    den_b = A.bind_with_bottleneck(net_j, params,
+                                   A.bottleneck_module_name(0, RES))
+    cfg = AMEDConfig(num_steps=3, M=1, sampler_stu="amed", sampler_tea="heun")
+    pred = predictor_from_config(cfg)
+    pred_params = pred.init(jax.random.key(1), jnp.zeros((2, 64)),
+                            jnp.asarray(1.0), jnp.asarray(0.5))["params"]
+    opt = optax.adam(cfg.lr)
+    lat = jax.random.normal(jax.random.key(2), (4, RES, RES, CH))
+
+    outs = {}
+    for rm in (False, True):
+        c = dataclasses.replace(cfg, remat_traj=rm)
+        step = jax.jit(make_amed_train_step(pred, den_b, c, opt))
+        p2, _, m = step(pred_params, opt.init(pred_params), lat)
+        outs[rm] = (p2, float(m["loss"]))
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[True][0]),
+                    jax.tree.leaves(outs[False][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
