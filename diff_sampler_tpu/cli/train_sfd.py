@@ -236,34 +236,11 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
     conditional = label_dim > 0 or context_fn is not None
     cond_ndim = 3 if context_fn is not None else 2
 
-    def build_step(c):
-        # opt-state shardings are inferred from the arrays (None): the
-        # moments are always placed like a fresh init from the sharded
-        # params (tensor-sharded under --tp), including on resume.
-        if conditional:
-            return jax.jit(step_builder(c),
-                           in_shardings=(p_sh, None, p_sh, shard,
-                                         data_sharding(mesh, cond_ndim)),
-                           out_shardings=(p_sh, None, rep))
-        return jax.jit(step_builder(c),
-                       in_shardings=(p_sh, None, p_sh, shard),
-                       out_shardings=(p_sh, None, rep))
-
-    if use_step_condition and not is_second_stage and not latent:
-        # SFD-v: randomize num_steps in [4,7] per trajectory
-        # (training_loop.py:239-244); one jitted program per step count.
-        step_variants = {
-            n: build_step(dataclasses.replace(
-                cfg, num_steps=n, M=2 if n == 3 else 3))
-            for n in range(4, 8)}
-        rng_steps = np.random.RandomState(seed)
-        train_step = lambda *a: step_variants[int(rng_steps.randint(4, 8))](*a)
-    else:
-        train_step = build_step(cfg)
     params = jax.device_put(params, p_sh)
     teacher_params = jax.device_put(teacher_params, p_sh)
     # init from the PLACED params: zeros_like inherits their shardings, so
-    # the Adam moments are tensor-sharded under --tp, replicated otherwise.
+    # the Adam moments are tensor/fsdp-sharded under --tp/--fsdp,
+    # replicated otherwise.
     ref_state = optimizer.init(params)
     if opt_state is None:
         opt_state = ref_state
@@ -280,7 +257,38 @@ def main(dataset_name, outdir, total_kimg, use_step_condition, is_second_stage,
             return jax.device_put(h, s) if isinstance(s, NamedSharding) else h
 
         opt_state = jax.tree.map(_place, ref_state, opt_state)
+    # PIN the opt-state shardings through the jit: with out_shardings=None
+    # GSPMD is free to re-layout a moment (observed: one leaf drifting to
+    # replicated under fsdp, defeating the memory point); leaves init left
+    # uncommitted (the Adam `count` scalar) pin to replicated
+    from jax.sharding import NamedSharding as _NS
+
+    o_sh = jax.tree.map(
+        lambda l: l.sharding if isinstance(l.sharding, _NS) else rep,
+        ref_state)
     del ref_state
+
+    def build_step(c):
+        if conditional:
+            return jax.jit(step_builder(c),
+                           in_shardings=(p_sh, o_sh, p_sh, shard,
+                                         data_sharding(mesh, cond_ndim)),
+                           out_shardings=(p_sh, o_sh, rep))
+        return jax.jit(step_builder(c),
+                       in_shardings=(p_sh, o_sh, p_sh, shard),
+                       out_shardings=(p_sh, o_sh, rep))
+
+    if use_step_condition and not is_second_stage and not latent:
+        # SFD-v: randomize num_steps in [4,7] per trajectory
+        # (training_loop.py:239-244); one jitted program per step count.
+        step_variants = {
+            n: build_step(dataclasses.replace(
+                cfg, num_steps=n, M=2 if n == 3 else 3))
+            for n in range(4, 8)}
+        rng_steps = np.random.RandomState(seed)
+        train_step = lambda *a: step_variants[int(rng_steps.randint(4, 8))](*a)
+    else:
+        train_step = build_step(cfg)
     if (tp_sh is not None or fsdp_sh is not None) and latent:
         # rebind so the stale unsharded tree is released (it is otherwise
         # kept alive through the LatentDiffusion the step builder closes

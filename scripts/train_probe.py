@@ -103,6 +103,11 @@ def main():
                         "4-copy footprint alone is 13.8 of 15.75 GiB")
     p.add_argument("--mu_bf16", action="store_true",
                    help="Adam first moment in bf16 (see build_sfd note)")
+    p.add_argument("--remat_traj", action="store_true",
+                   help="AMED mode: jax.checkpoint around each frozen-net "
+                        "eval in the student backward (the trajectory "
+                        "memory lever; measures its temp-GiB / s-per-step "
+                        "trade on chip)")
     p.add_argument("--lo", type=int, default=2)
     p.add_argument("--hi", type=int, default=6)
     args = p.parse_args()
@@ -203,7 +208,8 @@ def measure_amed(args, counts, rng, dev):
                      sampler_tea="heun", afs=False,
                      schedule_type="discrete", schedule_rho=1.0,
                      sigma_min=float(precond.sigma_min),
-                     sigma_max=float(precond.sigma_max))
+                     sigma_max=float(precond.sigma_max),
+                     remat_traj=args.remat_traj)
     uncond = jnp.zeros((1, 77, 768), jnp.float32) \
         if args.tier == "ms_coco" else None
 

@@ -93,11 +93,17 @@ def test_fsdp_train_step_parity_and_layout():
     shard = data_sharding(mesh, 4)
 
     def run(p_sh, place):
-        jstep = jax.jit(step, in_shardings=(p_sh, None, p_sh, shard),
-                        out_shardings=(p_sh, None, rep))
         p = place(student)
         t = place(teacher)
         o = opt.init(p)  # moments inherit the placed params' shardings
+        # pin the opt-state layout through the jit (out_shardings=None lets
+        # GSPMD re-layout moments -- observed drifting one leaf to
+        # replicated, which defeats the FSDP memory point)
+        o_sh = jax.tree.map(
+            lambda l: l.sharding if isinstance(l.sharding, NamedSharding)
+            else rep, o)
+        jstep = jax.jit(step, in_shardings=(p_sh, o_sh, p_sh, shard),
+                        out_shardings=(p_sh, o_sh, rep))
         losses = []
         for _ in range(2):
             p, o, m = jstep(p, o, t, jax.device_put(lat, shard))
@@ -139,3 +145,80 @@ def test_fsdp_cli_flag_conflicts():
                                   "--tp=2", "-n"])
     assert r.exit_code != 0
     assert "mutually exclusive" in r.output
+
+
+@pytest.mark.slow
+def test_fsdp_composes_with_ring_attention():
+    """--fsdp plus --sp (the CLI documents them as composable): FSDP param
+    shards over 'data' on a (data, seq) mesh while ring attention shards
+    the attention tokens over 'seq'; one latent train step must run and
+    keep the params sharded."""
+    import optax
+    from jax.sharding import NamedSharding
+
+    from diff_sampler_tpu.models.ldm import LDMUNet, linear_alphas_cumprod
+    from diff_sampler_tpu.models.precond import CFGPrecond
+    from diff_sampler_tpu.ops import ring_attention as RA
+    from diff_sampler_tpu.parallel import tp as tpmod
+    from diff_sampler_tpu.training.sfd import SFDConfig, make_ldm_train_step
+
+    mesh = tpmod.get_mesh_2d(2, model_axis="seq")
+    ctx_dim = 16
+    unet = LDMUNet(image_size=8, in_channels=4, out_channels=4,
+                   model_channels=32, attention_resolutions=(2,),
+                   num_res_blocks=1, channel_mult=(1, 2), num_heads=2,
+                   use_spatial_transformer=True, transformer_depth=1,
+                   context_dim=ctx_dim, legacy=False)
+    params = unet.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+                       jnp.ones((1,)), jnp.zeros((1, 3, ctx_dim)))["params"]
+
+    def unet_apply(p, x, t, c):
+        return unet.apply({"params": p}, x, t, c)
+
+    precond = CFGPrecond(
+        model_fn=lambda x, t, c: unet_apply(params, x, t, c),
+        alphas_cumprod=linear_alphas_cumprod(0.00085, 0.012, 100),
+        guidance_type="classifier-free", guidance_rate=7.5,
+        img_resolution=8, img_channels=4)
+    cfg = SFDConfig(num_steps=3, M=1, schedule_type="discrete",
+                    schedule_rho=1.0, afs=False,
+                    sigma_min=float(precond.sigma_min),
+                    sigma_max=float(precond.sigma_max))
+    opt = optax.adam(1e-4)
+    step = make_ldm_train_step(unet_apply, precond, cfg, opt)
+
+    specs = fsdpmod.fsdp_param_specs(params, mesh.shape["data"],
+                                     min_shard_elems=512)
+    n = fsdpmod.count_sharded_fsdp(specs)
+    assert n >= 5, n
+    fsdp_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                           is_leaf=lambda x: isinstance(x, P))
+    p = jax.device_put(params, fsdp_sh)
+    t = jax.device_put(jax.tree.map(lambda a: a.copy(), params), fsdp_sh)
+    o = opt.init(p)
+    rep = NamedSharding(mesh, P())
+    o_sh = jax.tree.map(
+        lambda l: l.sharding if isinstance(l.sharding, NamedSharding)
+        else rep, o)
+    lat_sh = NamedSharding(mesh, P("data", None, None, None))
+    ctx_sh = NamedSharding(mesh, P("data", None, None))
+    lat = jax.device_put(
+        jnp.asarray(np.random.RandomState(0).randn(8, 8, 8, 4), jnp.float32),
+        lat_sh)
+    ctx = jax.device_put(
+        jnp.asarray(np.random.RandomState(1).randn(8, 3, ctx_dim),
+                    jnp.float32), ctx_sh)
+
+    old_thresh, RA._SP_MIN_TOKENS = RA._SP_MIN_TOKENS, 8
+    RA.set_sp_context(mesh, seq_axis="seq", batch_axis="data")
+    try:
+        jstep = jax.jit(step,
+                        in_shardings=(fsdp_sh, o_sh, fsdp_sh, lat_sh, ctx_sh),
+                        out_shardings=(fsdp_sh, o_sh, rep))
+        p, o, m = jstep(p, o, t, lat, ctx)
+    finally:
+        RA.set_sp_context(None)
+        RA._SP_MIN_TOKENS = old_thresh
+    assert np.isfinite(float(m["loss"]))
+    assert sum(1 for l in jax.tree.leaves(p)
+               if not l.sharding.is_fully_replicated) == n
