@@ -33,8 +33,6 @@ batch 8 is exactly the memory-bound case.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -54,7 +52,8 @@ def fsdp_param_specs(params, n_shard: int, axis_name: str = "data",
     Works on ANY param/optimizer tree (no naming assumptions, unlike
     `tp_param_specs`): a leaf is sharded over `axis_name` along its largest
     dim that divides by `n_shard`; ties break toward the LAST such dim
-    (minor-most is contiguous on TPU); leaves with < min_shard_elems
+    (an arbitrary but deterministic choice -- GSPMD re-layouts either way,
+    and correctness never depends on it); leaves with < min_shard_elems
     elements or no divisible dim stay replicated.
     """
 

@@ -232,6 +232,14 @@ def _amed_family(
     storing them -- the trajectory-level memory lever for the big frozen
     tiers (AMED ms_coco's backward through 2x CFG-doubled SD evals measured
     11.23 GiB of XLA temp unrecomputed, BENCH_NOTES round 4).
+
+    Numerics: the forward/loss replays exactly (measured rel 2e-7);
+    gradients match up to backward re-fusion (measured max-abs 6e-5
+    against a grad scale of 1.6e3).  Post-Adam PARAMS can still differ by
+    O(lr) where a grad element is ~0: Adam's m/sqrt(v) maps any nonzero
+    grad to a ~lr-magnitude step, so re-fusion-level sign flips on
+    near-zero grads are amplified to the lr scale (see
+    test_amed_remat_traj_matches for the asserted bounds).
     """
     t = np.asarray(t_steps, dtype=np.float64)
     n = len(t) - 1

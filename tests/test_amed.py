@@ -201,14 +201,25 @@ def test_amed_grad_accumulation_matches_full_batch():
 
 
 def test_amed_remat_traj_matches():
-    """remat_traj=True (jax.checkpoint around the frozen-net evals) must
-    leave the update numerically unchanged: the forward (and loss) replays
-    identically; gradients differ only by XLA re-fusion of the recomputed
-    backward (measured ~9e-4 relative after Adam's normalization)."""
+    """remat_traj=True (jax.checkpoint around the frozen-net evals) is
+    checked where `jax.checkpoint` actually makes a guarantee:
+
+    1. the loss replays identically (measured rel 2e-7 on this host);
+    2. raw GRADIENTS match up to XLA re-fusion of the recomputed backward
+       (measured max-abs 6e-5 against a grad scale of 1.6e3, i.e. ~4e-8
+       relative to scale) -- asserted per-leaf at 1e-5 x the global grad
+       scale;
+    3. post-Adam params agree to atol = 2*lr. Adam's m/sqrt(v)
+       normalization maps ANY nonzero grad element to a step of magnitude
+       ~lr, so a re-fusion-level sign flip on a near-zero grad moves a
+       param by up to 2*lr per update -- that is the analytic noise floor,
+       NOT a remat bug (measured max-abs 2.4e-3 < lr/2 at lr=5e-3;
+       VERDICT/ADVICE round 4)."""
     import dataclasses
 
     import optax
 
+    from diff_sampler_tpu.ops import get_schedule
     from diff_sampler_tpu.training.amed import (AMEDConfig,
                                                 make_amed_train_step,
                                                 predictor_from_config)
@@ -226,6 +237,33 @@ def test_amed_remat_traj_matches():
     opt = optax.adam(cfg.lr)
     lat = jax.random.normal(jax.random.key(2), (4, RES, RES, CH))
 
+    # (2) gradient parity through one trajectory segment
+    t_steps = get_schedule(cfg.num_steps, cfg.sigma_min, cfg.sigma_max,
+                           cfg.schedule_type, cfg.schedule_rho)
+    seg_t = t_steps[0:2]
+    x_in = lat * jnp.float32(t_steps[0])
+    tea = jax.random.normal(jax.random.key(3), x_in.shape)
+
+    def make_loss(rm):
+        def loss_fn(pp):
+            def pred_apply(b, tc, tn):
+                return pred.apply({"params": pp}, b, tc, tn)
+            res, _, _ = A._amed_family(
+                den_b, pred_apply, x_in / jnp.float32(seg_t[0]), seg_t,
+                mode="amed", train=True, step_idx=0,
+                total_num_steps=cfg.num_steps, remat=rm)
+            return ((res.x - tea) ** 2).sum() / x_in.shape[0]
+        return loss_fn
+
+    g0 = jax.jit(jax.grad(make_loss(False)))(pred_params)
+    g1 = jax.jit(jax.grad(make_loss(True)))(pred_params)
+    gscale = max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g0))
+    assert gscale > 1.0  # the comparison below must not be vacuous
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5 * gscale)
+
+    # (1) + (3) full train step: loss exact, params within the Adam floor
     outs = {}
     for rm in (False, True):
         c = dataclasses.replace(cfg, remat_traj=rm)
@@ -236,4 +274,4 @@ def test_amed_remat_traj_matches():
     for a, b in zip(jax.tree.leaves(outs[True][0]),
                     jax.tree.leaves(outs[False][0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=1e-5)
+                                   rtol=0, atol=2 * cfg.lr)
