@@ -371,6 +371,10 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
         images = np.concatenate(
             [np.asarray(dec(jnp.asarray(images[i:i + 16])), np.float32)
              for i in range(0, len(images), 16)])
+    if sp > 1:
+        from ..ops.ring_attention import log_sp_dispatch
+
+        log_sp_dispatch(print0)  # which attention shapes actually rang
     _save(images, seeds, out_base, grid, subdirs)
 
 

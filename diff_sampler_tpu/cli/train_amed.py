@@ -73,6 +73,14 @@ from ..utils.rng import stacked_randn
 @click.option("--sp", type=int, default=1,
               help="Sequence-parallel degree: ring attention over a "
                    "(data, seq) mesh (ops/ring_attention.py)")
+@click.option("--fsdp", is_flag=True, default=False,
+              help="Shard the FROZEN net 1/n over the data axis "
+                   "(parallel/fsdp.py). AMED trains a tiny predictor "
+                   "THROUGH a frozen teacher -- there are no student "
+                   "moments to shard, but the 860M SD teacher at CFG 7.5 "
+                   "plus the 11.23 GiB trajectory backward (BENCH_NOTES) "
+                   "is exactly where sharding the frozen copy pays. "
+                   "Latent (ldm/sd) tiers only")
 @click.option("--desc", type=str, default=None)
 @click.option("--tick", type=click.IntRange(min=1), default=1)
 @click.option("--seed", type=int, default=0)
@@ -81,13 +89,20 @@ def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
          total_kimg, model_path, num_steps, sampler_stu, sampler_tea, M,
          schedule_type, schedule_rho, afs, scale_dir, scale_time, max_order,
          predict_x0, lower_order_final, batch, batch_gpu, lr, remat_traj,
-         tp, sp, desc, tick, seed, dry_run):
+         tp, sp, fsdp, desc, tick, seed, dry_run):
     import jax
     import optax
 
     if tp > 1 and sp > 1:
         raise click.UsageError("--tp and --sp are mutually exclusive "
                                "(one attention sharding at a time)")
+    if fsdp and tp > 1:
+        raise click.UsageError("--fsdp and --tp are mutually exclusive "
+                               "(one weight sharding at a time)")
+    if fsdp and dataset_name not in ("lsun_bedroom_ldm", "ffhq_ldm",
+                                     "ms_coco"):
+        raise click.UsageError("--fsdp shards the frozen latent net; it "
+                               "applies to ldm/sd tiers only")
     maybe_initialize_distributed()
     if dataset_name == "ms_coco":
         assert guidance_type == "cfg", "ms_coco trains with --guidance_type=cfg"
@@ -200,15 +215,55 @@ def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
                                    denoise_factory=denoise_factory,
                                    sigma_fn=sigma_fn,
                                    sigma_inv_fn=sigma_inv_fn)
+
+    # Latent tiers: route the FROZEN 274-860M net tree as a jit ARGUMENT
+    # (assigning the tracer to ld.unet_params inside the trace, the
+    # late-binding contract of models/ldm.py apply_model) -- closing over
+    # it embeds it as HLO constants, which stalls the axon remote compile
+    # (BENCH_NOTES round 4).  Under --fsdp that argument is additionally
+    # sharded 1/n over the data axis.
+    net_extra = ()
+    net_sh = None
+    if src in ("ldm", "sd") and tp == 1:
+        ld_lat = module.latent_diffusion
+        net_params = ld_lat.unet_params
+        net_sh = rep
+        if fsdp:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel import fsdp as fsdpmod
+
+            n_shard = mesh.shape["data"]
+            specs = fsdpmod.fsdp_param_specs(net_params, n_shard)
+            net_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                                  is_leaf=lambda x: isinstance(x, PartitionSpec))
+            gib = fsdpmod.fsdp_bytes_per_device(net_params, specs,
+                                                n_shard) / 2**30
+            print0(f"FSDP: frozen net "
+                   f"({fsdpmod.count_sharded_fsdp(specs)} weights) sharded "
+                   f"1/{n_shard}: {gib:.2f} GiB/device resident")
+        net_params = jax.device_put(net_params, net_sh)
+        ld_lat.unet_params = net_params  # release the unplaced tree
+        net_extra = (net_params,)
+        base_step = step_fn
+
+        def step_fn(pred_params, opt_state, latents, *cond_and_net):
+            *cond_args, p = cond_and_net
+            ld_lat.unet_params = p
+            return base_step(pred_params, opt_state, latents, *cond_args)
+
     if conditional or text_cond:
         cond_ndim = 3 if text_cond else 1
         train_step = jax.jit(step_fn,
                              in_shardings=(rep, rep, shard,
-                                           data_sharding(mesh, cond_ndim)),
+                                           data_sharding(mesh, cond_ndim))
+                             + ((net_sh,) if net_extra else ()),
                              out_shardings=(rep, rep, rep),
                              donate_argnums=(0, 1))
     else:
-        train_step = jax.jit(step_fn, in_shardings=(rep, rep, shard),
+        train_step = jax.jit(step_fn,
+                             in_shardings=(rep, rep, shard)
+                             + ((net_sh,) if net_extra else ()),
                              out_shardings=(rep, rep, rep),
                              donate_argnums=(0, 1))
     pred_params = jax.device_put(pred_params, rep)
@@ -230,14 +285,14 @@ def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
             labels = stacked_randint(batch_seeds, (), 0, module.label_dim)
             labels = jax.device_put(labels, data_sharding(mesh, 1))
             pred_params, opt_state, metrics = train_step(
-                pred_params, opt_state, latents, labels)
+                pred_params, opt_state, latents, labels, *net_extra)
         elif text_cond:
             ctx = jax.device_put(context_fn(it), data_sharding(mesh, 3))
             pred_params, opt_state, metrics = train_step(
-                pred_params, opt_state, latents, ctx)
+                pred_params, opt_state, latents, ctx, *net_extra)
         else:
-            pred_params, opt_state, metrics = train_step(pred_params,
-                                                         opt_state, latents)
+            pred_params, opt_state, metrics = train_step(
+                pred_params, opt_state, latents, *net_extra)
         training_stats.report("Loss/loss", np.asarray(metrics["loss_per_step"]))
         cur_nimg += batch
         it += 1

@@ -225,9 +225,13 @@ def shard_pixel_tensor_parallel(precond, params, mesh, model_source):
 def _adm_params(module, model_path, seed):
     if model_path == "random":
         res, ch = module.image_size, module.in_channels
-        return jax.jit(module.init)(jax.random.key(seed),
-                                    jnp.zeros((1, res, res, ch)),
-                                    jnp.ones((1,)))["params"]
+        init_args = [jax.random.key(seed), jnp.zeros((1, res, res, ch)),
+                     jnp.ones((1,))]
+        if getattr(module, "num_classes", None):
+            # class-conditional ADM (imagenet256): init needs a label to
+            # trace the label-embedding table lookup
+            init_args.append(jnp.zeros((1,), jnp.int32))
+        return jax.jit(module.init)(*init_args)["params"]
     from .adm import adm_state_dict_to_params
     from .torch_import import load_torch_file, torch_state_dict
 

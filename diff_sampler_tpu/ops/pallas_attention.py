@@ -1091,10 +1091,11 @@ def sdpa(q, k, v, scale=None, *, min_flash_tokens: int = 256,
         # sequence-parallel context (ring attention over a token-sharded
         # mesh axis, ops/ring_attention.py) -- checked before TP: both are
         # installed explicitly and SP is the more specific intent
-        from . import ring_attention as RA
-        from .ring_attention import _SP_CTX, sp_sdpa
-        if _SP_CTX is not None and t >= RA._SP_MIN_TOKENS:
-            out = sp_sdpa(q, k, v, float(scale))
+        import diff_sampler_tpu.ops.ring_attention as RA
+        if RA._SP_CTX is not None:
+            # min-tokens and divisibility gates live in sp_sdpa so every
+            # decline lands in its dispatch ledger (sp_dispatch_counts)
+            out = RA.sp_sdpa(q, k, v, float(scale))
             if out is not None:
                 return out
     if use_flash and _TP_CTX is not None and not _local:

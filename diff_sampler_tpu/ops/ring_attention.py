@@ -178,6 +178,33 @@ _SP_CTX = None
 # the reshard + rotation latency dominates (tests patch this down).
 _SP_MIN_TOKENS = 256
 
+# Trace-time dispatch ledger (VERDICT r4 weak #6: nothing logged which
+# attention levels actually rode the ring -- SD's T=4096 rings while LDM's
+# T=256 levels silently don't).  Keyed by the [B, T, H, d] call shape;
+# "rang" counts shard_map ring dispatches, "skipped" maps shape -> reason.
+# Mirrors the mh/flat flash counters in scripts/train_probe.py but lives
+# in-module so --sp CLI runs can report it (log_sp_dispatch).
+_SP_DISPATCH = {"rang": {}, "skipped": {}}
+
+
+def reset_sp_dispatch():
+    for v in _SP_DISPATCH.values():
+        v.clear()
+
+
+def sp_dispatch_counts():
+    """{'rang': {shape: n}, 'skipped': {shape: reason}} since last reset."""
+    return {k: dict(v) for k, v in _SP_DISPATCH.items()}
+
+
+def log_sp_dispatch(print_fn=print):
+    """One-line audit of which attention shapes rode the ring (called by
+    --sp runs after tracing; counts are trace-time, one per jit trace)."""
+    c = _SP_DISPATCH
+    rang = ", ".join(f"{s}x{n}" for s, n in sorted(c["rang"].items())) or "none"
+    skip = ", ".join(f"{s}: {r}" for s, r in sorted(c["skipped"].items())) or "none"
+    print_fn(f"SP ring dispatch -- rang: {rang} | skipped: {skip}")
+
 
 def set_sp_context(mesh, seq_axis: str = "seq",
                    batch_axis: Optional[str] = "data"):
@@ -195,15 +222,24 @@ def set_sp_context(mesh, seq_axis: str = "seq",
 
 def sp_sdpa(q, k, v, scale, *, impl: str = "auto"):
     """shard_map(ring_sdpa) over the installed SP mesh, or None if the
-    shapes don't divide it (caller falls back to the local paths)."""
+    shapes don't divide it (caller falls back to the local paths).
+    Every decision is recorded in the _SP_DISPATCH ledger by call shape."""
     if _SP_CTX is None:
         return None
     mesh, sa, ba = _SP_CTX
     n = mesh.shape[sa]
     b, t, h, d = q.shape
     dp = mesh.shape[ba] if ba else 1
-    if n <= 1 or t % n or (t // n) % 8 or b % dp:
+    shape = (b, t, h, d)
+    if t < _SP_MIN_TOKENS:
+        _SP_DISPATCH["skipped"][shape] = f"T={t} < min_tokens {_SP_MIN_TOKENS}"
         return None
+    if n <= 1 or t % n or (t // n) % 8 or b % dp:
+        _SP_DISPATCH["skipped"][shape] = (
+            f"indivisible: T={t} over seq={n} (local {t // max(n,1)}), "
+            f"B={b} over data={dp}")
+        return None
+    _SP_DISPATCH["rang"][shape] = _SP_DISPATCH["rang"].get(shape, 0) + 1
     spec = P(ba, sa, None, None)
 
     def body(ql, kl, vl):

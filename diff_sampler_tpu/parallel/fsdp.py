@@ -46,7 +46,7 @@ _MIN_SHARD_ELEMS = 2 ** 14
 
 
 def fsdp_param_specs(params, n_shard: int, axis_name: str = "data",
-                     min_shard_elems: int = _MIN_SHARD_ELEMS):
+                     min_shard_elems=None):
     """PartitionSpec pytree sharding each leaf's largest divisible dim.
 
     Works on ANY param/optimizer tree (no naming assumptions, unlike
@@ -56,6 +56,10 @@ def fsdp_param_specs(params, n_shard: int, axis_name: str = "data",
     and correctness never depends on it); leaves with < min_shard_elems
     elements or no divisible dim stay replicated.
     """
+    if min_shard_elems is None:
+        # read the module global at CALL time so tests (and callers) can
+        # lower the floor without threading the kwarg through every CLI
+        min_shard_elems = _MIN_SHARD_ELEMS
 
     def spec_for(leaf):
         shape = getattr(leaf, "shape", ())

