@@ -271,8 +271,20 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
         sched_kw = dict(sigma_fn=module.sigma, sigma_inv_fn=module.sigma_inv)
         if schedule_type == "polynomial" and t_steps is None:
             schedule_type, schedule_rho = "discrete", 1.0
+    # Big-tier jit contract: latent (274-860M) param trees enter every jit
+    # as ARGUMENTS (late-bound through LatentDiffusion.unet_params); closing
+    # over them embeds >1 GB of HLO constants, which the axon remote
+    # compile rejects (BENCH_NOTES round 4). Excluded under --tp: the
+    # sharded tree is already committed to the mesh.
+    big_kw = {}
+    if model_source in ("ldm", "sd") and tp <= 1:
+        ld_big = module.latent_diffusion
+        big_kw = dict(jit_params=ld_big.unet_params,
+                      bind_params=lambda p: setattr(ld_big, "unet_params", p))
     dp_list = None
     if dp:
+        import time as _time
+
         from ..gits.search import GITSConfig, gits_schedule
 
         gcfg = GITSConfig(num_steps=num_steps, num_steps_tea=num_steps_tea,
@@ -296,7 +308,12 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
                     unconditional_condition=(
                         jnp.broadcast_to(uc, c.shape) if uc is not None
                         else None)))
-        dp_list, dp_sigmas = gits_schedule(den, shape, gcfg, **gits_kw)
+        t0 = _time.perf_counter()
+        dp_list, dp_sigmas = gits_schedule(den, shape, gcfg, **gits_kw,
+                                           **big_kw)
+        print0(f"GITS search: {_time.perf_counter() - t0:.1f}s "
+               f"({gcfg.num_warmup} warmup x {gcfg.num_steps_tea - 1}-step "
+               f"{gcfg.solver_tea} teacher, incl. compile)")
         print0(f"GITS dp_list: {dp_list}")
         print0(f"GITS schedule: {np.round(dp_sigmas, 4).tolist()}")
         num_steps = num_steps_tea
@@ -349,7 +366,8 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
             "decode_first_stage per point instead)")
     images = generate(den, seeds, shape, cfg, mesh=mesh,
                       max_batch_size=max_batch_size,
-                      return_inters=return_inters, **cond_kw, **sched_kw)
+                      return_inters=return_inters, **cond_kw, **sched_kw,
+                      **big_kw)
     out_base = outdir or f"samples/{dataset_name}-{solver}-{num_steps}"
     if return_inters:
         # trajectory [num_points, N, ...]: grid mode renders every point

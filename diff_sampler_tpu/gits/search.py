@@ -149,7 +149,8 @@ def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
                   sigma_fn=None, sigma_inv_fn=None,
                   per_seed_cond: Optional[np.ndarray] = None,
                   denoise_with_cond=None,
-                  return_cost: bool = False):
+                  return_cost: bool = False,
+                  jit_params=None, bind_params=None):
     """Run the full GITS search; returns (dp_list, t_steps[dp_list]).
 
     denoise: bound denoiser.  sample_shape: per-sample NHWC shape.
@@ -159,6 +160,12 @@ def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
     `denoise_with_cond(x, t, c)` -- the warmup trajectories then run with
     per-sample conditioning like the reference's dp search
     (`gits-main/gits_utils.py:63-110` samples captions per warmup round).
+
+    jit_params/bind_params: route a big frozen param tree as a jit ARGUMENT
+    through the warmup-capture jit (same contract as sampling.generate --
+    closure constants >1 GB stall the axon remote compile).  The AFS
+    insertion search still closes over params; pass afs=False for the
+    274M+ latent tiers on the axon backend.
     """
     t_full = get_schedule(cfg.num_steps_tea, denoise.sigma_min, denoise.sigma_max,
                           cfg.schedule_type, cfg.schedule_rho,
@@ -178,7 +185,9 @@ def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
                              denoise.sigma_min, denoise.sigma_max)
 
     @jax.jit
-    def capture_and_cost(latents, cond=None):
+    def capture_and_cost(latents, cond=None, p=None):
+        if jit_params is not None:
+            bind_params(p)
         out = tea(_den_for(cond), latents, t_full, return_inters=True,
                   max_order=cfg.max_order)
         return compute_cost_matrix(out.xs, out.eps, t_full, cfg.metric), out.xs[-1]
@@ -193,9 +202,9 @@ def gits_schedule(denoise, sample_shape: Tuple[int, ...], cfg: GITSConfig,
         latents_last = stacked_randn(jnp.asarray(chunk), sample_shape)
         if conditioned:
             cond_last = jnp.asarray(per_seed_cond[start : start + len(chunk)])
-            c, term = capture_and_cost(latents_last, cond_last)
+            c, term = capture_and_cost(latents_last, cond_last, jit_params)
         else:
-            c, term = capture_and_cost(latents_last)
+            c, term = capture_and_cost(latents_last, None, jit_params)
         cost_sum += np.asarray(c, dtype=np.float64)
         terminal_states.append(np.asarray(term))
         rounds += 1

@@ -96,11 +96,26 @@ class _LinearNoBias(nn.Module):
     cin: int
     cout: int
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not compact) so siblings can read .kernel for the
+        # fused-QKV path below; the param tree is identical either way
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.cin, self.cout))
+
     def __call__(self, x):
-        w = self.param("kernel", nn.initializers.lecun_normal(),
-                       (self.cin, self.cout))
-        return x @ w.astype(x.dtype)
+        return x @ self.kernel.astype(x.dtype)
+
+
+# Fuse the q/k/v (or k/v) projections of one attention block into a single
+# matmul over call-time-concatenated kernels.  The checkpoint layout keeps
+# the reference's three separate trees; only the COMPUTE is fused: at
+# C=448 a lone [BT,448]x[448,448] GEMM pads N to 512 (14% dead lanes) and
+# re-reads the [BT,C] activation from HBM three times -- merged, N=1344
+# pads to 1408 (4.8%) and reads x once.  Gated off under tensor
+# parallelism: the TP plan shards to_q/to_k/to_v column-wise by name and
+# the call-time concat of differently-sharded kernels would force GSPMD
+# gathers.  A/B: ldm_probe full vs full_unfused (BENCH_NOTES round 5).
+_FUSE_QKV = True
 
 
 def _cross_attention(parent, name, query_dim, context_dim, heads, dim_head):
@@ -112,12 +127,23 @@ def _cross_attention(parent, name, query_dim, context_dim, heads, dim_head):
     scale = dim_head**-0.5
 
     def call(x, context=None):
-        from ..ops.pallas_attention import sdpa
+        from ..ops.pallas_attention import _TP_CTX, sdpa
 
         ctx = x if context is None else context
-        q = to_q(x).reshape(x.shape[0], x.shape[1], heads, dim_head)
-        k = to_k(ctx).reshape(x.shape[0], ctx.shape[1], heads, dim_head)
-        v = to_v(ctx).reshape(x.shape[0], ctx.shape[1], heads, dim_head)
+        fuse = _FUSE_QKV and _TP_CTX is None
+        if fuse and context is None:
+            w = jnp.concatenate([to_q.kernel, to_k.kernel, to_v.kernel],
+                                axis=1)
+            q, k, v = jnp.split(x @ w.astype(x.dtype), 3, axis=-1)
+        elif fuse:
+            q = to_q(x)
+            wkv = jnp.concatenate([to_k.kernel, to_v.kernel], axis=1)
+            k, v = jnp.split(ctx @ wkv.astype(x.dtype), 2, axis=-1)
+        else:
+            q, k, v = to_q(x), to_k(ctx), to_v(ctx)
+        q = q.reshape(x.shape[0], x.shape[1], heads, dim_head)
+        k = k.reshape(x.shape[0], ctx.shape[1], heads, dim_head)
+        v = v.reshape(x.shape[0], ctx.shape[1], heads, dim_head)
         if context is None:
             out = sdpa(q, k, v, scale=scale)
         else:  # ragged T_k (e.g. 77 text tokens): einsum path

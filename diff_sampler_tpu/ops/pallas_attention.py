@@ -329,10 +329,11 @@ def flash_attention_mh(q, k, v, scale, interpret=False, block_q=512,
     [B,T,H,d]->[B,T,H*d] view is a free reshape of contiguous memory; no
     head flattening, no lane padding).  Backward dispatch (_mh_bwd):
     native k-major mh kernels on the packed layout when _mh_bwd_plan fits
-    (no HBM transposes in training either), else flatten to the [B*H, T, d]
-    kernels (4 transpose passes -- e.g. SD's T=4096 levels, where the
-    full-length q/do residency at width H*d exceeds VMEM), else the einsum
-    VJP below the logits-bytes crossover."""
+    (no HBM transposes in training either), else the grid-STREAMED mh
+    kernels when _mh_bwd_stream_plan fits (no full-length VMEM residency
+    -- SD's T=4096 levels), else flatten to the [B*H, T, d] kernels
+    (4 transpose passes), else the einsum VJP below the logits-bytes
+    crossover."""
     b, t, h, d = q.shape
     out, _ = _flash_fwd_mh_res(q.reshape(b, t, h * d), k.reshape(b, t, h * d),
                                v.reshape(b, t, h * d), h, scale,
@@ -370,6 +371,16 @@ def _mh_bwd(scale, interpret, block_q, block_k, res, g):
                                  g.reshape(b, t, h * d), h, scale,
                                  block_q=plan[0], block_k=plan[1],
                                  interpret=interpret, out_shape=(b, t, h, d))
+        plan = _mh_bwd_stream_plan(t, h * d, h, jnp.dtype(q.dtype).itemsize)
+        if plan is not None:
+            # grid-streamed: no full-length VMEM residency (SD's T=4096
+            # level lands here instead of the flat 4-transpose fallback)
+            return _flash_bwd_mh_stream(
+                q.reshape(b, t, h * d), k.reshape(b, t, h * d),
+                v.reshape(b, t, h * d), out.reshape(b, t, h * d), lse,
+                g.reshape(b, t, h * d), h, scale,
+                block_q=plan[0], block_k=plan[1],
+                interpret=interpret, out_shape=(b, t, h, d))
 
     def flat(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
@@ -668,6 +679,246 @@ def _flash_bwd_mh(q, k, v, out, lse, g, num_heads, scale, block_q=256,
     return (dq[:, :t].reshape(bs, ts, hs, ds),
             dk[:, :t].reshape(bs, ts, hs, ds),
             dv[:, :t].reshape(bs, ts, hs, ds))
+
+
+# ---------------------------------------------------------------------------
+# Grid-STREAMED mh backward (VERDICT r4 item 7): the resident kernels above
+# hold the full-length opposite operand in VMEM ([tk, H*d] k/v for dq,
+# [tq, H*d] q/do for dkv), which exceeds the budget at SD's T=4096 level
+# (w=320 H=8: ~21 MB demanded vs 15 MB) and forced the flat fallback with
+# its 4 HBM transpose passes.  Here the streamed operand walks a THIRD grid
+# dimension in chunks; f32 accumulators live in VMEM scratch across the
+# sweep (TPU grids run sequentially on one core, so scratch persists), and
+# the output block -- whose index map ignores the stream dim -- is written
+# once at the final step.  Trade-off vs resident: k/v are re-fetched from
+# HBM once per q-tile (and vice versa), the classic flash-backward traffic
+# shape; at T=4096 that extra traffic is far cheaper than 4 full transpose
+# passes of [B,T,H,d].
+
+
+def _bwd_dq_kernel_mh_stream(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref,
+                             acc_ref, *, scale, num_heads, pack):
+    """dQ for one (b, q_tile, k_chunk) grid step; packing as in the
+    resident packed kernel (block-diagonal q/do along sublanes, `pack`
+    heads per matmul).  Zero-padded key rows have zero k/v, so dp and
+    ds @ k vanish there (same argument as _bwd_dq_kernel_mh)."""
+    ki = pl.program_id(2)
+    bq = q_ref.shape[1]
+    d = q_ref.shape[2] // num_heads
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h0 = 0
+    while h0 < num_heads:
+        p = min(pack, num_heads - h0)
+        w = p * d
+        qg = q_ref[0, :, h0 * d:h0 * d + w]
+        dog = do_ref[0, :, h0 * d:h0 * d + w]
+        if p > 1:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1) // d
+            qbd = jnp.concatenate(
+                [jnp.where(lane == j, qg, 0) for j in range(p)], axis=0)
+            dobd = jnp.concatenate(
+                [jnp.where(lane == j, dog, 0) for j in range(p)], axis=0)
+            lse = jnp.concatenate(
+                [stats_ref[0, h0 + j].reshape(-1, 1) for j in range(p)],
+                axis=0)
+            delta = jnp.concatenate(
+                [stats_ref[0, num_heads + h0 + j].reshape(-1, 1)
+                 for j in range(p)], axis=0)
+        else:
+            qbd, dobd = qg, dog
+            lse = stats_ref[0, h0].reshape(-1, 1)
+            delta = stats_ref[0, num_heads + h0].reshape(-1, 1)
+        kg = k_ref[0, :, h0 * d:h0 * d + w]
+        vg = v_ref[0, :, h0 * d:h0 * d + w]
+        logits = scale * jax.lax.dot_general(
+            qbd, kg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [p*bq, bk]
+        pm = jnp.exp(logits - lse)
+        dp = jax.lax.dot_general(dobd, vg, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = pm * (dp - delta)
+        contrib = scale * jax.lax.dot_general(
+            ds.astype(kg.dtype), kg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [p*bq, w]
+        for j in range(p):
+            sl = slice((h0 + j) * d, (h0 + j + 1) * d)
+            acc_ref[:, sl] += contrib[j * bq:(j + 1) * bq, j * d:(j + 1) * d]
+        h0 += p
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _fin():
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_mh_stream(q_ref, k_ref, v_ref, do_ref, stats_ref,
+                              dk_ref, dv_ref, acc_dk, acc_dv, *, scale,
+                              num_heads, pack):
+    """dK/dV for one (b, k_tile, q_chunk) grid step, k-major transposed
+    formulation with packing; zero-padded q rows have do == 0 and
+    delta == 0 so they contribute nothing."""
+    qi = pl.program_id(2)
+    bk = k_ref.shape[1]
+    bq = q_ref.shape[1]
+    d = q_ref.shape[2] // num_heads
+
+    @pl.when(qi == 0)
+    def _init():
+        acc_dk[...] = jnp.zeros_like(acc_dk)
+        acc_dv[...] = jnp.zeros_like(acc_dv)
+
+    h0 = 0
+    while h0 < num_heads:
+        p = min(pack, num_heads - h0)
+        w = p * d
+        kg = k_ref[0, :, h0 * d:h0 * d + w]
+        vg = v_ref[0, :, h0 * d:h0 * d + w]
+        qg = q_ref[0, :, h0 * d:h0 * d + w]
+        dog = do_ref[0, :, h0 * d:h0 * d + w]
+        if p > 1:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bk, w), 1) // d
+            kbd = jnp.concatenate(
+                [jnp.where(lane == j, kg, 0) for j in range(p)], axis=0)
+            vbd = jnp.concatenate(
+                [jnp.where(lane == j, vg, 0) for j in range(p)], axis=0)
+            lse = jnp.concatenate(
+                [jnp.broadcast_to(stats_ref[0, h0 + j].reshape(1, -1),
+                                  (bk, bq)) for j in range(p)], axis=0)
+            delta = jnp.concatenate(
+                [jnp.broadcast_to(
+                    stats_ref[0, num_heads + h0 + j].reshape(1, -1),
+                    (bk, bq)) for j in range(p)], axis=0)
+        else:
+            kbd, vbd = kg, vg
+            lse = stats_ref[0, h0].reshape(1, -1)
+            delta = stats_ref[0, num_heads + h0].reshape(1, -1)
+        logits_t = scale * jax.lax.dot_general(
+            kbd, qg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [p*bk, bq]
+        p_t = jnp.exp(logits_t - lse)
+        dv_c = jax.lax.dot_general(p_t.astype(dog.dtype), dog,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dp_t = jax.lax.dot_general(vbd, dog, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        ds_t = p_t * (dp_t - delta)
+        dk_c = scale * jax.lax.dot_general(
+            ds_t.astype(qg.dtype), qg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [p*bk, w]
+        for j in range(p):
+            sl = slice((h0 + j) * d, (h0 + j + 1) * d)
+            acc_dk[:, sl] += dk_c[j * bk:(j + 1) * bk, j * d:(j + 1) * d]
+            acc_dv[:, sl] += dv_c[j * bk:(j + 1) * bk, j * d:(j + 1) * d]
+        h0 += p
+
+    @pl.when(qi == pl.num_programs(2) - 1)
+    def _fin():
+        dk_ref[0] = acc_dk[...].astype(dk_ref.dtype)
+        dv_ref[0] = acc_dv[...].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "block_q",
+                                             "block_k", "interpret",
+                                             "out_shape"))
+def _flash_bwd_mh_stream(q, k, v, out, lse, g, num_heads, scale,
+                         block_q=256, block_k=256, interpret=False,
+                         out_shape=None):
+    """Grid-streamed mh flash backward over [B, T, H*d]: (dq, dk, dv) as
+    [B, T, H, d] with NO full-length VMEM residency and no HBM transposes."""
+    b, t, c = q.shape
+    d = c // num_heads
+    delta = jnp.einsum(
+        "bthd,bthd->bht",
+        g.reshape(b, t, num_heads, d).astype(jnp.float32),
+        out.reshape(b, t, num_heads, d).astype(jnp.float32))
+    g = g.astype(q.dtype)
+    block_q = min(block_q, ((t + 127) // 128) * 128)
+    block_k = min(block_k, ((t + 127) // 128) * 128)
+    q, _ = _pad_to(q, 1, block_q)
+    g, _ = _pad_to(g, 1, block_q)
+    delta, _ = _pad_to(delta, 2, block_q)
+    k, _ = _pad_to(k, 1, block_k)
+    v, _ = _pad_to(v, 1, block_k)
+    tq, tk = q.shape[1], k.shape[1]
+    if lse.shape[2] != tq:
+        lse = _pad_to(lse, 2, block_q)[0][:, :, :tq]
+    stats = jnp.concatenate([lse, delta], axis=1)
+    pack = _pack_factor(d)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_mh_stream, scale=scale,
+                          num_heads=num_heads, pack=pack),
+        grid=(b, tq // block_q, tk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, block_k, c), lambda bi, qi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, c), lambda bi, qi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_q, c), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, 2 * num_heads, block_q),
+                         lambda bi, qi, ki: (bi, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c),
+                               lambda bi, qi, ki: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, tq, c), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, c), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, g, stats)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_mh_stream, scale=scale,
+                          num_heads=num_heads, pack=pack),
+        grid=(b, tk // block_k, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda bi, ki, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, block_k, c), lambda bi, ki, qi: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, c), lambda bi, ki, qi: (bi, ki, 0)),
+            pl.BlockSpec((1, block_q, c), lambda bi, ki, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, 2 * num_heads, block_q),
+                         lambda bi, ki, qi: (bi, 0, qi)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, c), lambda bi, ki, qi: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, c), lambda bi, ki, qi: (bi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, tk, c), q.dtype),
+            jax.ShapeDtypeStruct((b, tk, c), q.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, c), jnp.float32),
+                        pltpu.VMEM((block_k, c), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, g, stats)
+    bs, ts, hs, ds = out_shape
+    return (dq[:, :t].reshape(bs, ts, hs, ds),
+            dk[:, :t].reshape(bs, ts, hs, ds),
+            dv[:, :t].reshape(bs, ts, hs, ds))
+
+
+def _mh_bwd_stream_plan(t, width, num_heads, itemsize, block_q=256,
+                        block_k=256):
+    """(block_q, block_k) for the STREAMED mh backward, or None.
+
+    Only block-sized operands are resident (q/do/k/v/out blocks + two f32
+    accumulators at [block, width]) plus the same ~0.75 f32 [bq, bk] stack
+    temporaries per head as every mh kernel."""
+    tpad = ((t + 127) // 128) * 128
+    bq, bk = _snap128(min(block_q, tpad)), _snap128(min(block_k, tpad))
+    while True:
+        io = 2 * itemsize * (2 * bq + 2 * bk + 2 * bk) * width \
+            + 2 * max(bq, bk) * width * 4 \
+            + 2 * itemsize * 2 * num_heads * max(bq, bk)
+        stack = int(0.75 * num_heads * bq * bk * 4)
+        if io + stack <= _MH_VMEM_BUDGET_BYTES:
+            return bq, bk
+        if bk > 128:
+            bk = _snap128(bk // 2)
+        elif bq > 128:
+            bq = _snap128(bq // 2)
+        else:
+            return None
 
 
 def _mh_bwd_plan(t, width, num_heads, itemsize, block_q=256, block_k=256):

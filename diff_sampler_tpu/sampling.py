@@ -99,7 +99,8 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
              label_dim: int = 0, label_kind: str = "onehot",
              denoise_with_labels=None, class_idx=None,
              per_seed_cond: Optional[np.ndarray] = None,
-             return_inters: bool = False) -> np.ndarray:
+             return_inters: bool = False,
+             jit_params=None, bind_params=None) -> np.ndarray:
     """Generate len(seeds) samples, data-parallel over the mesh.
 
     sample_shape: per-sample shape, e.g. (32, 32, 3) NHWC.
@@ -114,6 +115,13 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
     `return_inters=True`, [num_points, len(seeds), *sample_shape] — the full
     trajectory including x_T and the final sample (`--return_inters`,
     sample.py:140).
+
+    jit_params/bind_params: route a big (274-860M) frozen param tree as a
+    jit ARGUMENT instead of a closure constant — closing over it embeds it
+    into the serialized HLO, which the axon remote-compile service rejects
+    at >1 GB (BENCH_NOTES round 4). `bind_params(p)` is called with the
+    traced tree before the denoiser runs (e.g. assigning
+    LatentDiffusion.unet_params, whose apply_model reads it late-bound).
     """
     if mesh is None:
         mesh = pm.get_mesh()
@@ -153,8 +161,13 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
     def _post(out):
         return out.xs if return_inters else out
 
+    extra = () if jit_params is None else (jit_params,)
+    extra_sh = () if jit_params is None else (pm.replicated(mesh),)
+
     if conditional:
-        def jbody(lat, labels):
+        def jbody(lat, labels, *p):
+            if p:
+                bind_params(p[0])
             den = type(denoise)(
                 fn=lambda x, t: denoise_with_labels(x, t, labels),
                 sigma_min=denoise.sigma_min, sigma_max=denoise.sigma_max)
@@ -162,13 +175,20 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
                 den, cfg, sigma_fn=sigma_fn, sigma_inv_fn=sigma_inv_fn,
                 return_inters=return_inters, dtype=dtype)(lat))
 
-        jfn = jax.jit(jbody, in_shardings=(sharding, lab_sharding),
+        jfn = jax.jit(jbody,
+                      in_shardings=(sharding, lab_sharding) + extra_sh,
                       out_shardings=out_sharding)
     else:
         fn = build_sample_fn(denoise, cfg, sigma_fn=sigma_fn,
                              sigma_inv_fn=sigma_inv_fn,
                              return_inters=return_inters, dtype=dtype)
-        jfn = jax.jit(lambda lat: _post(fn(lat)), in_shardings=sharding,
+
+        def jbody_u(lat, *p):
+            if p:
+                bind_params(p[0])
+            return _post(fn(lat))
+
+        jfn = jax.jit(jbody_u, in_shardings=(sharding,) + extra_sh,
                       out_shardings=out_sharding)
 
     batch = min(max_batch_size * n_dev, pm.pad_to_multiple(n, n_dev))
@@ -202,9 +222,9 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
                 labels = (jax.nn.one_hot(idx, label_dim)
                           if label_kind == "onehot" else idx)
             labels = jax.device_put(labels, lab_sharding)
-            x = np.asarray(jfn(latents, labels), dtype=np.float32)
+            x = np.asarray(jfn(latents, labels, *extra), dtype=np.float32)
         else:
-            x = np.asarray(jfn(latents), dtype=np.float32)
+            x = np.asarray(jfn(latents, *extra), dtype=np.float32)
         if return_inters:
             out[:, start : start + len(chunk)] = x[:, : len(chunk)]
         else:

@@ -41,12 +41,15 @@ sys.path.insert(0, "/root/repo")
 V5E_PEAK = 197e12
 
 
+NFE_POINTS = [("nfe5", 6), ("nfe10", 11), ("nfe35", 36)]
+
+
 def _time_sampler(make_fn, params, batch, res, chn, flops_per_image, out):
     from diff_sampler_tpu.ops import get_schedule
 
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)
-    for label, num_steps in [("nfe5", 6), ("nfe10", 11), ("nfe35", 36)]:
+    for label, num_steps in NFE_POINTS:
         fn = make_fn(num_steps)
         lat = jax.device_put(
             jax.random.normal(jax.random.key(1), (batch, res, res, chn)), dev)
@@ -186,6 +189,8 @@ def bench_cg(batch=8, guidance_rate=2.0):
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    if len(sys.argv) > 3:  # e.g. "nfe35": run one point per invocation
+        NFE_POINTS = [p for p in NFE_POINTS if p[0] in sys.argv[3:]]
     if which in ("all", "cm"):
         bench_cm(batch or 16)
     if which in ("all", "cg"):

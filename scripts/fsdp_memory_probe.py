@@ -171,10 +171,10 @@ def main():
 
     fsdp_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                            is_leaf=lambda x: isinstance(x, P))
+    compile_layout(f"fsdp 1/{n_dev}", fsdp_sh)  # the claim under test, first
     if not args.skip_replicated:
         rep_tree = jax.tree.map(lambda _: rep, params)
         compile_layout("replicated (DDP contract)", rep_tree)
-    compile_layout(f"fsdp 1/{n_dev}", fsdp_sh)
 
 
 if __name__ == "__main__":

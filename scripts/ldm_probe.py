@@ -84,6 +84,9 @@ def main():
                 os.environ["LDM_PROBE_BF16_PARAMS"] = "1"
             if variant == "full_unpacked":
                 pallas_attention._PACK_SMALL_D = False
+            if variant == "full_unfused":
+                from diff_sampler_tpu.models import ldm as ldm_mod
+                ldm_mod._FUSE_QKV = False
             if variant == "sdpa_passthru":
                 def sdpa_passthru(q, k, v, scale=None, **kw):
                     # cheap data dependence on k/v so nothing dead-code
@@ -92,11 +95,20 @@ def main():
                 pallas_attention.sdpa = sdpa_passthru
 
             fn, params, x, t = build(args.batch, attn=(variant != "no_attn"))
+            try:
+                fl = float(jax.jit(fn).lower(params, x, t).compile()
+                           .cost_analysis().get("flops", 0.0))
+            except Exception:
+                fl = 0.0
             ms = chained_ms(fn, x, t, params=params)
-            results[variant] = ms
-            print(f"{variant:12s} {ms:8.2f} ms/eval "
-                  f"({1e3 * args.batch / ms:7.1f} img/s-eval)")
+            results[variant] = (ms, fl)
+            mxu = 100 * fl / (ms * 1e-3) / 197e12 if fl else 0.0
+            print(f"{variant:13s} {ms:8.2f} ms/eval "
+                  f"({1e3 * args.batch / ms:7.1f} img/s-eval, "
+                  f"{fl / 1e12:6.2f} TF, {mxu:4.1f}% MXU)")
         finally:
+            from diff_sampler_tpu.models import ldm as ldm_mod
+            ldm_mod._FUSE_QKV = True
             pallas_attention._PACK_SMALL_D = True
             pallas_groupnorm.groupnorm_silu = saved_gn
             pallas_attention.sdpa = saved_sdpa
@@ -104,10 +116,10 @@ def main():
             os.environ.pop("LDM_PROBE_BF16_PARAMS", None)
 
     if "full" in results:
-        base = results["full"]
-        for k, v in results.items():
+        base = results["full"][0]
+        for k, (v, _) in results.items():
             if k != "full":
-                print(f"{k:12s} share vs full: {100 * (base - v) / base:+.1f}%")
+                print(f"{k:13s} share vs full: {100 * (base - v) / base:+.1f}%")
 
 
 if __name__ == "__main__":

@@ -36,9 +36,9 @@ def flash_bwd_counters():
     """Wrap the flash backward entry points with trace-time counters."""
     from diff_sampler_tpu.ops import pallas_attention as PA
 
-    counts = {"flat": 0, "mh": 0, "einsum_vjp": 0}
+    counts = {"flat": 0, "mh": 0, "mh_stream": 0, "einsum_vjp": 0}
     real_flat, real_mh = PA._flash_bwd, PA._flash_bwd_mh
-    real_ref = PA._reference_sdpa
+    real_stream = PA._flash_bwd_mh_stream
 
     def flat(*a, **k):
         counts["flat"] += 1
@@ -48,7 +48,12 @@ def flash_bwd_counters():
         counts["mh"] += 1
         return real_mh(*a, **k)
 
+    def mh_stream(*a, **k):
+        counts["mh_stream"] += 1
+        return real_stream(*a, **k)
+
     PA._flash_bwd, PA._flash_bwd_mh = flat, mh
+    PA._flash_bwd_mh_stream = mh_stream
     return counts
 
 
@@ -157,7 +162,7 @@ def main():
         print(f"first step: {time.perf_counter() - t0:.1f}s  "
               f"loss={float(m['loss']):.4f}")
         print(f"flash bwd dispatch at trace: mh={counts['mh']} "
-              f"flat={counts['flat']}")
+              f"mh_stream={counts['mh_stream']} flat={counts['flat']}")
 
         def run(n):
             nonlocal params, opt_state
@@ -262,7 +267,7 @@ def measure_amed(args, counts, rng, dev):
                                          net_params)
     print(f"first step: {time.perf_counter() - t0:.1f}s")
     print(f"flash bwd dispatch at trace: mh={counts['mh']} "
-          f"flat={counts['flat']}")
+          f"mh_stream={counts['mh_stream']} flat={counts['flat']}")
 
     def run(n):
         nonlocal pred_params, opt_state

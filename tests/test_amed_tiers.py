@@ -431,9 +431,21 @@ def test_train_amed_cli_fsdp(tmp_path, monkeypatch):
     from diff_sampler_tpu.cli.train_amed import main
     from diff_sampler_tpu.models import ldm as ldm_mod
     from diff_sampler_tpu.parallel import fsdp as fsdpmod
-    from test_sfd_ldm import _tiny_ldm_configs
 
-    monkeypatch.setattr(ldm_mod, "LDM_CONFIGS", _tiny_ldm_configs())
+    # RES=16 so the middle block pools to 8*8 = 64 predictor dims (the
+    # test_sfd_ldm tiny configs are RES=8 -> 16 dims, too small for AMED)
+    tiny = dict(
+        linear_start=0.0015, linear_end=0.0195, timesteps=100,
+        scale_factor=1.0, conditioning_key=None, first_stage="vq",
+        unet=dict(image_size=RES, in_channels=3, out_channels=3,
+                  model_channels=32, attention_resolutions=(2,),
+                  num_res_blocks=1, channel_mult=(1, 2),
+                  num_head_channels=16),
+        vae=dict(z_channels=3, resolution=RES * 2, ch=32, ch_mult=(1, 2),
+                 num_res_blocks=1, attn_resolutions=()),
+        n_embed=32, embed_dim=3)
+    monkeypatch.setattr(ldm_mod, "LDM_CONFIGS",
+                        {**ldm_mod.LDM_CONFIGS, "lsun_bedroom_ldm": tiny})
     # the tiny net sits below the production min-shard floor
     monkeypatch.setattr(fsdpmod, "_MIN_SHARD_ELEMS", 512)
     args = [f"--outdir={tmp_path}", "--dataset_name=lsun_bedroom_ldm",

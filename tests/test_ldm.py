@@ -251,3 +251,36 @@ def test_factory_ldm_random_and_clip_conversion():
     assert pre.sigma_min == 0.006
     img = pre.latent_diffusion.decode_first_stage(x[:, :16, :16, :])
     assert img.shape == (1, 32, 32, 3)
+
+
+def test_fused_qkv_projection_parity():
+    """_FUSE_QKV merges the q/k/v (self-attn) and k/v (cross-attn)
+    projections into one call-time-concatenated matmul; outputs must be
+    bit-compatible with the unfused path (same math, same param tree)."""
+    from diff_sampler_tpu.models import ldm as ldm_mod
+
+    kw = dict(image_size=16, in_channels=4, out_channels=4,
+              model_channels=32, num_res_blocks=1,
+              attention_resolutions=(1, 2), channel_mult=(1, 2), num_heads=2,
+              use_spatial_transformer=True, transformer_depth=1,
+              context_dim=16, legacy=False)
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 4))
+    t = jnp.full((2,), 10.0)
+    ctx = jax.random.normal(jax.random.key(1), (2, 5, 16))
+    outs = {}
+    assert ldm_mod._FUSE_QKV  # fused is the production default
+    try:
+        for fuse in (True, False):
+            ldm_mod._FUSE_QKV = fuse
+            net = ldm_mod.LDMUNet(**kw)
+            params = net.init(jax.random.key(2), x, t, ctx)["params"]
+            outs[fuse] = (net.apply({"params": params}, x, t, ctx), params)
+    finally:
+        ldm_mod._FUSE_QKV = True
+    # identical param trees (checkpoint layout is unchanged by the fusion)
+    ka = jax.tree_util.tree_structure(outs[True][1])
+    kb = jax.tree_util.tree_structure(outs[False][1])
+    assert ka == kb
+    np.testing.assert_allclose(np.asarray(outs[True][0]),
+                               np.asarray(outs[False][0]),
+                               rtol=2e-5, atol=2e-5)

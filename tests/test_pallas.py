@@ -401,9 +401,13 @@ def test_mh_backward_flat_fallback_when_plan_none(monkeypatch):
 
     monkeypatch.setattr(PA, "_FLASH_BWD_MIN_LOGITS_BYTES", 0)
     monkeypatch.setattr(PA, "_mh_bwd_plan", lambda *a, **k: None)
+    monkeypatch.setattr(PA, "_mh_bwd_stream_plan", lambda *a, **k: None)
     monkeypatch.setattr(
         PA, "_flash_bwd_mh",
         lambda *a, **k: pytest.fail("native path dispatched despite None plan"))
+    monkeypatch.setattr(
+        PA, "_flash_bwd_mh_stream",
+        lambda *a, **k: pytest.fail("stream path dispatched despite None plan"))
     b, t, h, d = 2, 256, 2, 32
     rng = np.random.RandomState(5)
     q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32) * 0.3)
@@ -434,8 +438,52 @@ def test_mh_bwd_plan_shapes():
     plan = PA._mh_bwd_plan(2048, 320, 5, 2)
     assert plan is not None
     # SD 64x64 self-attention (T=4096, width=320): full-length q/do
-    # residency alone is ~21 MB -> flat-path fallback by design (the flat
-    # kernels' per-program width is the padded d=128, 2.5x smaller)
+    # residency alone is ~21 MB -> the RESIDENT plan declines, but the
+    # grid-STREAMED plan (round 5) picks it up with only block-sized
+    # residency, so the 4-transpose flat fallback is no longer taken
     assert PA._mh_bwd_plan(4096, 320, 5, 2) is None
+    assert PA._mh_bwd_stream_plan(4096, 320, 5, 2) is not None
+    assert PA._mh_bwd_stream_plan(4096, 320, 8, 2) is not None  # real SD H=8
     # hopeless: full-length q/do residency alone blows the budget
     assert PA._mh_bwd_plan(8192, 1024, 16, 4) is None
+
+
+@pytest.mark.parametrize("b,t,h,d", [(1, 512, 2, 40), (2, 300, 3, 32),
+                                     (1, 512, 2, 64)])
+def test_mh_streamed_backward_matches_reference(b, t, h, d, monkeypatch):
+    """The grid-STREAMED mh backward (round 5: k/v walk a third grid dim,
+    f32 scratch accumulation, no full-length VMEM residency) matches the
+    reference grads -- packed (d=40: SD's real head dim; d=32) and
+    unpacked (d=64), ragged T included."""
+    from diff_sampler_tpu.ops import pallas_attention as PA
+
+    monkeypatch.setattr(PA, "_FLASH_BWD_MIN_LOGITS_BYTES", 0)
+    # force the streamed branch: resident plan declines
+    monkeypatch.setattr(PA, "_mh_bwd_plan", lambda *a, **k: None)
+    used = {}
+    real = PA._flash_bwd_mh_stream
+
+    def spy(*a, **kw):
+        used["stream"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(PA, "_flash_bwd_mh_stream", spy)
+    rng = np.random.RandomState(33)
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32) * 0.3)
+               for _ in range(3))
+    s = float(1 / np.sqrt(d))
+
+    def ref(q_, k_, v_):
+        f = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+        out = PA._reference_sdpa(f(q_), f(k_), f(v_), s)
+        return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+    cot = jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+    loss_mh = lambda *a: (PA.flash_attention_mh(*a, s, True, 128, 128) * cot).sum()
+    loss_ref = lambda *a: (ref(*a) * cot).sum()
+    g1 = jax.grad(loss_mh, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    assert used.get("stream"), "streamed mh backward was not dispatched"
+    for name, a, b_ in zip("qkv", g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3,
+                                   atol=1e-4, err_msg=f"d{name}")
