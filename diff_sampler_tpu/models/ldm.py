@@ -108,14 +108,16 @@ class _LinearNoBias(nn.Module):
 
 # Fuse the q/k/v (or k/v) projections of one attention block into a single
 # matmul over call-time-concatenated kernels.  The checkpoint layout keeps
-# the reference's three separate trees; only the COMPUTE is fused: at
-# C=448 a lone [BT,448]x[448,448] GEMM pads N to 512 (14% dead lanes) and
-# re-reads the [BT,C] activation from HBM three times -- merged, N=1344
-# pads to 1408 (4.8%) and reads x once.  Gated off under tensor
-# parallelism: the TP plan shards to_q/to_k/to_v column-wise by name and
-# the call-time concat of differently-sharded kernels would force GSPMD
-# gathers.  A/B: ldm_probe full vs full_unfused (BENCH_NOTES round 5).
-_FUSE_QKV = True
+# the reference's three separate trees; only the COMPUTE is fused.  The
+# hypothesis was lane-pad + HBM-reread savings (C=448: N pads 512 vs 1408,
+# x read 3x vs 1x) -- MEASURED NEGATIVE on the 274M LDM (ldm_probe round
+# 5: fused 70.13 vs unfused 70.00 ms/eval, -0.2%): the projection bucket
+# is LayerNorm/reshape-bound at 23.4% MXU, not GEMM-bound, so the merge
+# buys nothing.  Kept opt-in like the other measured negatives (Pallas
+# GN/conv, int8, exp2).  Also gated off under tensor parallelism (the TP
+# plan shards to_q/to_k/to_v column-wise by name; concat would force
+# GSPMD gathers).
+_FUSE_QKV = False
 
 
 def _cross_attention(parent, name, query_dim, context_dim, heads, dim_head):

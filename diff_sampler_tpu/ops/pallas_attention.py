@@ -898,12 +898,19 @@ def _flash_bwd_mh_stream(q, k, v, out, lse, g, num_heads, scale,
 
 
 def _mh_bwd_stream_plan(t, width, num_heads, itemsize, block_q=256,
-                        block_k=256):
+                        block_k=1024):
     """(block_q, block_k) for the STREAMED mh backward, or None.
 
     Only block-sized operands are resident (q/do/k/v/out blocks + two f32
     accumulators at [block, width]) plus the same ~0.75 f32 [bq, bk] stack
-    temporaries per head as every mh kernel."""
+    temporaries per head as every mh kernel.
+
+    The default is ASYMMETRIC (bq=256, bk=1024): big streamed blocks cut
+    the per-step block-diagonal rebuild + re-fetch count.  Swept on chip
+    at the SD shape (B=2, T=4096, H=8, d=40, bf16; scripts/
+    stream_bwd_probe.py): flat 4.50 ms, stream (256,256) 4.57, (512,512)
+    4.51, (128,2048) 4.35, **(256,1024) 4.27 ms** -- the symmetric plan
+    LOSES to the flat fallback, the asymmetric one beats it by 5%."""
     tpad = ((t + 127) // 128) * 128
     bq, bk = _snap128(min(block_q, tpad)), _snap128(min(block_k, tpad))
     while True:

@@ -268,7 +268,7 @@ def test_fused_qkv_projection_parity():
     t = jnp.full((2,), 10.0)
     ctx = jax.random.normal(jax.random.key(1), (2, 5, 16))
     outs = {}
-    assert ldm_mod._FUSE_QKV  # fused is the production default
+    assert not ldm_mod._FUSE_QKV  # opt-in: measured -0.2% (no win) on TPU
     try:
         for fuse in (True, False):
             ldm_mod._FUSE_QKV = fuse
@@ -276,7 +276,7 @@ def test_fused_qkv_projection_parity():
             params = net.init(jax.random.key(2), x, t, ctx)["params"]
             outs[fuse] = (net.apply({"params": params}, x, t, ctx), params)
     finally:
-        ldm_mod._FUSE_QKV = True
+        ldm_mod._FUSE_QKV = False
     # identical param trees (checkpoint layout is unchanged by the fusion)
     ka = jax.tree_util.tree_structure(outs[True][1])
     kb = jax.tree_util.tree_structure(outs[False][1])
