@@ -224,6 +224,38 @@ def main(dataset_name, guidance_type, guidance_rate, prompt_path, outdir,
     # sharded 1/n over the data axis.
     net_extra = ()
     net_sh = None
+    if src in ("cm", "adm") and tp == 1:
+        # Pixel 256 tiers: same params-as-argument contract -- the frozen
+        # 550M CM/ADM(+classifier) tree would otherwise embed as HLO
+        # constants (remote-compile stall class, BENCH_NOTES round 4).
+        # The dataclass precond reads model_fn/model_fn_bottleneck at call
+        # time, so reassigning them over the traced tree inside step_fn
+        # routes it (mirrors scripts/bench_256px.py).
+        from ..models.factory import _capture_middle
+
+        net_pix = module.net
+        cls_pix = getattr(module, "classifier", None)
+        net_sh = rep
+        net_params = jax.device_put(params, rep)
+        net_extra = (net_params,)
+        base_pixel_step = step_fn
+
+        def step_fn(pred_params, opt_state, latents, *cond_and_net):
+            *cond_args, p = cond_and_net
+            if src == "adm":
+                module.model_fn = lambda x, t, y: net_pix.apply(
+                    {"params": p["model"]}, x, t, y)
+                module.classifier_fn = lambda x, t: cls_pix.apply(
+                    {"params": p["classifier"]}, x, t)
+                module.model_fn_bottleneck = _capture_middle(net_pix,
+                                                             p["model"])
+            else:
+                module.model_fn = lambda x, t, y: net_pix.apply(
+                    {"params": p}, x, t, None)
+                module.model_fn_bottleneck = _capture_middle(net_pix, p)
+            return base_pixel_step(pred_params, opt_state, latents,
+                                   *cond_args)
+
     if src in ("ldm", "sd") and tp == 1:
         ld_lat = module.latent_diffusion
         net_params = ld_lat.unet_params

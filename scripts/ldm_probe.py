@@ -84,9 +84,11 @@ def main():
                 os.environ["LDM_PROBE_BF16_PARAMS"] = "1"
             if variant == "full_unpacked":
                 pallas_attention._PACK_SMALL_D = False
-            if variant == "full_unfused":
-                from diff_sampler_tpu.models import ldm as ldm_mod
-                ldm_mod._FUSE_QKV = False
+            from diff_sampler_tpu.models import ldm as ldm_mod
+            saved_fuse = ldm_mod._FUSE_QKV
+            if variant == "full_fused":
+                # fusion is opt-in after the round-5 A/B (-0.2%, no win)
+                ldm_mod._FUSE_QKV = True
             if variant == "sdpa_passthru":
                 def sdpa_passthru(q, k, v, scale=None, **kw):
                     # cheap data dependence on k/v so nothing dead-code
@@ -107,8 +109,7 @@ def main():
                   f"({1e3 * args.batch / ms:7.1f} img/s-eval, "
                   f"{fl / 1e12:6.2f} TF, {mxu:4.1f}% MXU)")
         finally:
-            from diff_sampler_tpu.models import ldm as ldm_mod
-            ldm_mod._FUSE_QKV = True
+            ldm_mod._FUSE_QKV = saved_fuse
             pallas_attention._PACK_SMALL_D = True
             pallas_groupnorm.groupnorm_silu = saved_gn
             pallas_attention.sdpa = saved_sdpa

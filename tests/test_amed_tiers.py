@@ -485,3 +485,30 @@ def test_train_amed_cli_fsdp_pixel_rejected(tmp_path):
         "--model_path=random", "--fsdp"])
     assert res.exit_code != 0
     assert "ldm/sd" in res.output
+
+
+def test_train_amed_cli_cm_pixel_params_as_args(tmp_path, monkeypatch):
+    """The CM/ADM pixel tiers route the frozen net tree through the train
+    jit as an ARGUMENT (round 5: the same contract as the latent tiers --
+    a closure-embedded 550M tree stalls the axon remote compile): the CLI
+    step rebinds model_fn/model_fn_bottleneck over the traced tree and
+    training completes finite."""
+    import json
+
+    from click.testing import CliRunner
+
+    import diff_sampler_tpu.cli.train_amed as ta
+
+    pre, net, params = _cm_precond()
+    pre.net = net  # factory contract (build_cm_model sets this)
+    monkeypatch.setattr(ta, "create_model",
+                        lambda *a, **k: (pre, params, "cm"))
+    res = CliRunner().invoke(ta.main, [
+        f"--outdir={tmp_path}", "--dataset_name=lsun_bedroom",
+        "--model_path=random", "--total_kimg=1", "--batch=512",
+        "--num_steps=3", "--m=1", "--afs=False"], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    run = next(tmp_path.iterdir())
+    assert (run / "predictor.npz").exists()
+    stats = (run / "stats.jsonl").read_text().strip().splitlines()
+    assert stats and np.isfinite(json.loads(stats[-1])["Loss/loss"]["mean"])
