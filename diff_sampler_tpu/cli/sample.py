@@ -364,11 +364,32 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
             "trajectory lives in latent space and grid/PNG output would "
             "render undecoded latents (use the library API and "
             "decode_first_stage per point instead)")
+    out_base = outdir or f"samples/{dataset_name}-{solver}-{num_steps}"
+    # Pixel tiers stream PNG writes while the device computes: generate's
+    # batch loop is software-pipelined (batch i+1 dispatched before batch i
+    # is fetched), so the per-batch callback's host-side encode/write
+    # overlaps device compute instead of serializing after it (the
+    # reference saves after each synchronous batch, sample.py:294-316).
+    # Latent tiers still save after the VAE decode pass below; grid /
+    # trajectory modes need the full array anyway.
+    stream = (not return_inters and not grid
+              and model_source not in ("ldm", "sd"))
+    stream_cb = None
+    if stream:
+        pi, pc = jax.process_index(), jax.process_count()
+
+        def stream_cb(start, chunk):
+            # multi-host: every process holds the gathered batch; write the
+            # round-robin shard of GLOBAL seed indices (matches _save)
+            mine = [i for i in range(len(chunk)) if (start + i) % pc == pi]
+            if mine:
+                save_images(to_uint8(chunk[np.asarray(mine)]),
+                            [seeds[start + i] for i in mine],
+                            out_base, subdirs=subdirs)
     images = generate(den, seeds, shape, cfg, mesh=mesh,
                       max_batch_size=max_batch_size,
-                      return_inters=return_inters, **cond_kw, **sched_kw,
-                      **big_kw)
-    out_base = outdir or f"samples/{dataset_name}-{solver}-{num_steps}"
+                      return_inters=return_inters, batch_callback=stream_cb,
+                      **cond_kw, **sched_kw, **big_kw)
     if return_inters:
         # trajectory [num_points, N, ...]: grid mode renders every point
         # (the reference's save path over the stacked inters); otherwise
@@ -393,7 +414,11 @@ def main(dataset_name, model_path, predictor, max_batch_size, seeds, grid,
         from ..ops.ring_attention import log_sp_dispatch
 
         log_sp_dispatch(print0)  # which attention shapes actually rang
-    _save(images, seeds, out_base, grid, subdirs)
+    if stream:
+        print0(f"Saved {len(seeds)} images to {out_base} (streamed)")
+        print0("Done.")
+    else:
+        _save(images, seeds, out_base, grid, subdirs)
 
 
 def _amed_sample(module, params, den, predictor, seeds, shape, max_batch_size,

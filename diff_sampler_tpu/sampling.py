@@ -100,7 +100,8 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
              denoise_with_labels=None, class_idx=None,
              per_seed_cond: Optional[np.ndarray] = None,
              return_inters: bool = False,
-             jit_params=None, bind_params=None) -> np.ndarray:
+             jit_params=None, bind_params=None,
+             batch_callback=None) -> np.ndarray:
     """Generate len(seeds) samples, data-parallel over the mesh.
 
     sample_shape: per-sample shape, e.g. (32, 32, 3) NHWC.
@@ -122,6 +123,15 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
     at >1 GB (BENCH_NOTES round 4). `bind_params(p)` is called with the
     traced tree before the denoiser runs (e.g. assigning
     LatentDiffusion.unet_params, whose apply_model reads it late-bound).
+
+    batch_callback(start, images_np): called once per batch as its result
+    lands on host (float32, padding stripped, seed order). The batch loop
+    is software-pipelined — batch i+1 is DISPATCHED before batch i is
+    fetched — so the device computes the next batch while the host runs
+    the callback (e.g. streaming PNG writes, cli/sample). The reference
+    serializes compute → D2H → save per batch (sample.py:294-316); jax's
+    async dispatch makes the overlap free. Results are bit-identical
+    with or without a callback (same compiled fn, same inputs).
     """
     if mesh is None:
         mesh = pm.get_mesh()
@@ -198,6 +208,18 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
     out = (np.empty((num_points, n) + tuple(sample_shape), dtype=np.float32)
            if return_inters else
            np.empty((n,) + tuple(sample_shape), dtype=np.float32))
+    def _drain(pending):
+        start, m, dev_x = pending
+        x = np.asarray(dev_x, dtype=np.float32)
+        if return_inters:
+            out[:, start : start + m] = x[:, :m]
+        else:
+            out[start : start + m] = x[:m]
+        if batch_callback is not None:
+            batch_callback(start, out[:, start : start + m]
+                           if return_inters else out[start : start + m])
+
+    pending = None  # (start, chunk_len, device array) — one batch in flight
     for start in range(0, n, batch):
         chunk = seeds[start : start + batch]
         pad = batch - len(chunk)
@@ -222,13 +244,14 @@ def generate(denoise, seeds: Sequence[int], sample_shape: Tuple[int, ...],
                 labels = (jax.nn.one_hot(idx, label_dim)
                           if label_kind == "onehot" else idx)
             labels = jax.device_put(labels, lab_sharding)
-            x = np.asarray(jfn(latents, labels, *extra), dtype=np.float32)
+            dev_x = jfn(latents, labels, *extra)  # async dispatch
         else:
-            x = np.asarray(jfn(latents, *extra), dtype=np.float32)
-        if return_inters:
-            out[:, start : start + len(chunk)] = x[:, : len(chunk)]
-        else:
-            out[start : start + len(chunk)] = x[: len(chunk)]
+            dev_x = jfn(latents, *extra)  # async dispatch
+        if pending is not None:
+            _drain(pending)  # host D2H/PNGs overlap the batch just queued
+        pending = (start, len(chunk), dev_x)
+    if pending is not None:
+        _drain(pending)
     return out
 
 

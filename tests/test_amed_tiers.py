@@ -512,3 +512,45 @@ def test_train_amed_cli_cm_pixel_params_as_args(tmp_path, monkeypatch):
     assert (run / "predictor.npz").exists()
     stats = (run / "stats.jsonl").read_text().strip().splitlines()
     assert stats and np.isfinite(json.loads(stats[-1])["Loss/loss"]["mean"])
+
+
+def test_train_amed_cli_adm_pixel_params_as_args(tmp_path, monkeypatch):
+    """Same params-as-argument contract on the ADM+classifier (imagenet256)
+    tier: the CLI step rebinds model_fn, classifier_fn AND the bottleneck
+    tap over the traced {model, classifier} tree, and the conditional
+    denoise_factory (per-trajectory random labels) still threads through.
+    This is the src == 'adm' branch of the round-5 pixel step_fn."""
+    import json
+
+    from click.testing import CliRunner
+
+    import diff_sampler_tpu.cli.train_amed as ta
+
+    net = ADMUNet(**{**ADM_KW, "num_classes": 7,
+                     "out_channels": 6})  # eps + learned variance
+    params = net.init(jax.random.key(0), jnp.zeros((1, RES, RES, 3)),
+                      jnp.ones((1,)), jnp.zeros((1,), jnp.int32))["params"]
+    cls = ADMClassifier(image_size=RES, in_channels=3, model_channels=32,
+                        out_channels=7, num_res_blocks=1,
+                        attention_resolutions=(2,), channel_mult=(1, 2),
+                        num_head_channels=16, pool="attention")
+    cls_params = cls.init(jax.random.key(1), jnp.zeros((1, RES, RES, 3)),
+                          jnp.ones((1,)))["params"]
+    pre = CGPrecond(
+        model_fn=lambda x, t, y: net.apply({"params": params}, x, t, y),
+        classifier_fn=lambda x, t: cls.apply({"params": cls_params}, x, t),
+        img_resolution=RES, img_channels=3, label_dim=7, guidance_rate=0.5,
+        model_fn_bottleneck=_capture_middle(net, params))
+    pre.net, pre.classifier = net, cls  # factory contract (build_cg_model)
+    tree = {"model": params, "classifier": cls_params}
+    monkeypatch.setattr(ta, "create_model",
+                        lambda *a, **k: (pre, tree, "adm"))
+    res = CliRunner().invoke(ta.main, [
+        f"--outdir={tmp_path}", "--dataset_name=imagenet256",
+        "--model_path=random", "--total_kimg=1", "--batch=512",
+        "--num_steps=3", "--m=1", "--afs=False"], catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    run = next(tmp_path.iterdir())
+    assert (run / "predictor.npz").exists()
+    stats = (run / "stats.jsonl").read_text().strip().splitlines()
+    assert stats and np.isfinite(json.loads(stats[-1])["Loss/loss"]["mean"])

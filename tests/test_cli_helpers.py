@@ -96,3 +96,23 @@ def test_prdc_cli_smoke(tmp_path):
     assert r.exit_code == 0, r.output
     assert "precision" in r.output and "coverage" in r.output
     assert "realism_mean" in r.output
+
+
+@pytest.mark.slow
+def test_sample_cli_pixel_streams_pngs(tmp_path):
+    """Pixel-tier sample CLI: PNGs stream per batch through generate's
+    software-pipelined batch_callback (device computes batch i+1 while the
+    host encodes batch i's PNGs; the reference serializes compute -> save,
+    sample.py:294-316). 6 seeds / batch 4 exercises the padded last batch."""
+    from click.testing import CliRunner
+
+    from diff_sampler_tpu.cli.sample import main
+
+    out = tmp_path / "samples"
+    res = CliRunner().invoke(main, [
+        "--dataset_name=cifar10", "--model_path=random", "--seeds=0-5",
+        "--batch=4", "--num_steps=3", f"--outdir={out}", "--subdirs=False"],
+        catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+    assert "streamed" in res.output
+    assert len(sorted(out.glob("*.png"))) == 6
